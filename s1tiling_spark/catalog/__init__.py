@@ -1,0 +1,5 @@
+"""Catalog: binds engine operators to the driver tables and pairs each
+with its DuckDB oracle SQL. Importing this package populates the
+registry (see s1tiling_spark.registry)."""
+
+from s1tiling_spark.catalog import gapfill, rollups  # noqa: F401

@@ -1,0 +1,142 @@
+"""Tiered continuous aggregates: the engine's core rollup.
+
+The reference's core aggregation is the mosaic — N exclusive rasters on
+one tile grid reduced to one raster (`Synthetize`,
+`/root/reference/s1tiling/libs/otbwrappers/s1_to_s2.py:776-888`;
+semantics `/root/reference/docs/dataflow-main.rst:274-276`), grouped by
+``(tile, polarisation, orbit, acquisition_day)``
+(`otbpipeline.py:418-452`). Here the grouping axes are
+``(time bucket, source)`` and the reduction is count/sum/min/max of
+``n_tok`` plus a merge-able token-histogram sketch.
+
+Tier cascade (1h → 1d → 30d) is partial→final re-aggregation — the
+reference's incremental coverage accumulation (`lia.py:1658-1683`)
+generalized: every stat is a merge-able partial (sum-of-sums,
+min-of-mins, count-of-counts, histogram = bin-wise sum), so the 1d tier
+reads 24 rows per (day, source) from the 1h tier, never the raw table.
+
+Scale notes (100 TB):
+- ``groupBy(bucket, source)`` does map-side partial aggregation before
+  the shuffle; shuffled volume is O(groups), not O(rows).
+- The histogram uses explode → groupBy(bucket, source, bin): partial
+  aggregation collapses each map task's token stream to ≤64 bins per
+  group *before* the shuffle, so exploding a 4096-token array never
+  crosses the wire row-by-row.
+- Hot sources are handled upstream by salted repartition + AQE
+  (see plans/tiers.py), not here — the rollup itself is skew-neutral
+  because partial aggs bound per-task state by group count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TIERS = ("1h", "1d", "30d")
+_TRUNC = {"1h": "hour", "1d": "day"}
+_30D_SECONDS = 30 * 86400
+N_HIST_BINS = 64
+VOCAB = 50_000
+
+
+def bucket_col(ts: Column, tier: str) -> Column:
+    """Tumbling-bucket start for a tier. 1h/1d align to wall-clock
+    boundaries (`date_trunc`); 30d aligns to the Unix epoch so buckets
+    are stable regardless of the data's min timestamp."""
+    if tier in _TRUNC:
+        return F.date_trunc(_TRUNC[tier], ts)
+    if tier == "30d":
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(ts) / F.lit(_30D_SECONDS)) * F.lit(_30D_SECONDS)
+        )
+    raise ValueError(f"unknown tier {tier!r}")
+
+
+def bucket_sql(ts_expr: str, tier: str) -> str:
+    """DuckDB SQL equivalent of :func:`bucket_col` (oracle parity)."""
+    if tier in _TRUNC:
+        return f"date_trunc('{_TRUNC[tier]}', {ts_expr})"
+    if tier == "30d":
+        return (
+            f"CAST(to_timestamp(floor(epoch({ts_expr})/{_30D_SECONDS})*{_30D_SECONDS}) "
+            "AS TIMESTAMP)"
+        )
+    raise ValueError(f"unknown tier {tier!r}")
+
+
+def rollup_sequences(seq: DataFrame, tier: str) -> DataFrame:
+    """Raw sequences → one retention tier. One shuffle, partial-agg'd."""
+    return (
+        seq.groupBy(
+            bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
+            "source",
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def rollup_from_lower(lower: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (merge-able
+    partials — never touches the raw table). Reference analog: partial
+    coverage accumulation `lia.py:1658-1683`."""
+    return (
+        lower.groupBy(
+            bucket_col(F.col("bucket_start"), tier).alias("bucket_start"),
+            "source",
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def token_hist_long(seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS) -> DataFrame:
+    """Token-histogram sketch in long form: (bucket_start, source, bin,
+    tok_cnt). Bin = token id folded into ``n_bins`` equal-width ranges.
+
+    Long form is the merge-able representation (map-sum across tiers =
+    groupBy+sum on the same shape); :func:`assemble_hist` packs it into
+    a map column for the tier table."""
+    width = VOCAB // n_bins
+    return (
+        seq.select(
+            bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
+            "source",
+            F.explode("tokens").alias("token"),
+        )
+        .groupBy(
+            "bucket_start",
+            "source",
+            F.least(F.col("token") / F.lit(width), F.lit(n_bins - 1))
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("tok_cnt"))
+    )
+
+
+def merge_hist_long(lower_hist: DataFrame, tier: str) -> DataFrame:
+    """Cascade a long-form histogram to a coarser tier: bin-wise sum."""
+    return (
+        lower_hist.groupBy(
+            bucket_col(F.col("bucket_start"), tier).alias("bucket_start"),
+            "source",
+            "bin",
+        ).agg(F.sum("tok_cnt").alias("tok_cnt"))
+    )
+
+
+def assemble_hist(hist_long: DataFrame) -> DataFrame:
+    """Pack long-form histogram into map<bin,count> per (bucket, source)
+    for storage in the tier table."""
+    return hist_long.groupBy("bucket_start", "source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bin", "tok_cnt")))
+        ).alias("tok_hist")
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the rollup engine.
+
+Mirrors the reference's parallelism model — ``nb_parallel_processes``
+single-thread workers × ``nb_otb_threads`` with a per-process RAM budget
+(`/root/reference/s1tiling/libs/api.py:220-223`,
+`configuration.py:452-457`) — expressed the Spark way: one session,
+``local[N]`` threads locally / executor instances on a cluster, AQE for
+runtime re-planning, Arrow for the vectorized-UDF path.
+
+At 100 TB this module is where cluster-level knobs live; everything else
+in the engine is expressed declaratively so Catalyst/AQE can re-plan when
+the data size changes by 1000×.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "s1tiling-spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with scale-aware defaults.
+
+    - AQE on (coalesce + skew-join): runtime re-plan replaces the
+      reference's hand-built Dask graph regeneration on retry
+      (`api.py:296-315`).
+    - ``spark.sql.shuffle.partitions`` sized to ~2× cores locally; on a
+      real cluster leave AQE to coalesce from a higher initial number.
+    - Arrow enabled for pandas-UDF kernels (no per-row Python).
+    - Session timezone pinned to UTC so time-bucketing is
+      deterministic across environments.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+    )
+    # local mode = one JVM; spark.driver.memory is the only heap knob
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM") or "48g"
+    builder = builder.config("spark.driver.memory", mem)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,86 @@
+"""Tier rollup correctness: cascade == direct, Spark == DuckDB oracle.
+
+Mirrors the reference's golden-compare discipline
+(`/root/reference/tests/helpers.py:40-49`, ε=1e-12): here integer stats
+must match EXACTLY (reproducible across parallelism levels — SURVEY §7
+"What's hard" #1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s1tiling_spark.operators.rollup import (
+    assemble_hist,
+    merge_hist_long,
+    rollup_from_lower,
+    rollup_sequences,
+    token_hist_long,
+)
+from s1tiling_spark.sources.sequences import sequences_from_documents
+from s1tiling_spark.sources.synth import synth_sequences
+from tests.helpers import assert_frames_match, assert_spark_matches_duck
+
+
+@pytest.fixture(scope="module")
+def seq(spark, sf_dir):
+    return sequences_from_documents(spark, sf_dir).cache()
+
+
+def test_cascade_equals_direct(spark, seq):
+    """1h→1d cascade must equal a direct 1d rollup (merge-able partials)."""
+    direct = rollup_sequences(seq, "1d").toPandas()
+    cascade = rollup_from_lower(rollup_sequences(seq, "1h"), "1d").toPandas()
+    assert_frames_match(cascade, direct)
+
+
+def test_cascade_30d(spark, seq):
+    direct = rollup_sequences(seq, "30d").toPandas()
+    cascade = rollup_from_lower(
+        rollup_from_lower(rollup_sequences(seq, "1h"), "1d"), "30d"
+    ).toPandas()
+    assert_frames_match(cascade, direct)
+
+
+def test_rollup_against_oracle(spark, duck, sf_dir):
+    from s1tiling_spark.catalog.rollups import _rollup_oracle, rollup_1d
+
+    assert_spark_matches_duck(rollup_1d(spark, sf_dir), duck, _rollup_oracle("1d"))
+
+
+def test_hist_merge_equals_direct(spark, seq):
+    direct = token_hist_long(seq, "30d").toPandas()
+    merged = merge_hist_long(token_hist_long(seq, "1d"), "30d").toPandas()
+    assert_frames_match(merged, direct)
+
+
+def test_hist_oracle(spark, duck, sf_dir):
+    from s1tiling_spark.catalog.rollups import _hist_oracle, tok_hist_1d
+
+    assert_spark_matches_duck(tok_hist_1d(spark, sf_dir), duck, _hist_oracle("1d"))
+
+
+def test_hist_assemble_counts(spark, seq):
+    hist = assemble_hist(token_hist_long(seq, "1d"))
+    row = hist.limit(1).collect()[0]
+    assert isinstance(row["tok_hist"], dict) and len(row["tok_hist"]) > 0
+
+
+def test_rollup_parallelism_invariance(spark):
+    """Same input at different partition counts → identical tier values
+    (integer accumulators are order-insensitive)."""
+    a = rollup_sequences(synth_sequences(spark, 3000, num_partitions=1), "1d").toPandas()
+    b = rollup_sequences(
+        synth_sequences(spark, 3000, num_partitions=16).repartition(7), "1d"
+    ).toPandas()
+    assert_frames_match(a, b)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    n = df.count()
+    assert n > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 5
