@@ -2,4 +2,9 @@
 with its DuckDB oracle SQL. Importing this package populates the
 registry (see s1tiling_spark.registry)."""
 
-from s1tiling_spark.catalog import gapfill, rollups  # noqa: F401
+from s1tiling_spark.catalog import (  # noqa: F401
+    dedup_queries,
+    gapfill,
+    relational,
+    rollups,
+)

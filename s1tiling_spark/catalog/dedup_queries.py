@@ -1,0 +1,156 @@
+"""Dedup queries + DuckDB oracles (exact, Jaccard, MinHash-LSH,
+SimHash). Oracle SQL is generated from the same constants as the Spark
+side so thresholds/hash parameters can never drift apart."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from s1tiling_spark.operators.dedup import (
+    MINHASH_P,
+    MINHASH_REDUCE,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from s1tiling_spark.registry import register
+from s1tiling_spark.sources.tables import load_table
+
+# shared SQL fragments ------------------------------------------------
+_WORDS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({w}) - 2, 1) + 1), "
+    "i -> array_to_string(({w})[i:i+2], ' ')))"
+).format(w=_WORDS)
+_MD5L = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------------------------- exact
+@register(
+    "dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY 1"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+# ----------------------------------------------------------- jaccard
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x1.doc_id AS doc_a, x2.doc_id AS doc_b, count(*) AS inter
+  FROM sh x1 JOIN sh x2 ON x1.sh = x2.sh AND x1.doc_id < x2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 >= 80 * (sa.n_sh + sb.n_sh - inter)
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load_table(spark, "documents", sf_dir), k=3, tau=0.8)
+
+
+# ----------------------------------------------------------- minhash
+_NUM_HASHES = 16
+_BANDS = 4
+_R = _NUM_HASHES // _BANDS
+_TAU_AGREE = int(round(0.7 * _NUM_HASHES))
+
+
+def _sig_sql() -> str:
+    shh = f"list_transform({_SHINGLES}, s -> {_MD5L.format(e='s')})"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(shh, h -> "
+        f"({2*i+1} * (h % {MINHASH_REDUCE}) + {101*i+17}) % {MINHASH_P}))"
+        for i in range(_NUM_HASHES)
+    )
+    return (
+        f"sigs AS (SELECT doc_id, [{sig_elems}] AS sig "
+        f"FROM (SELECT doc_id, {shh} AS shh FROM documents))"
+    )
+
+
+_MINHASH_SIG_ORACLE = f"WITH {_sig_sql()} SELECT doc_id, sig FROM sigs"
+
+
+@register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        load_table(spark, "documents", sf_dir), k=3, num_hashes=_NUM_HASHES
+    )
+
+
+def _bands_sql() -> str:
+    # band key = '_'-joined r signature values (1-based in DuckDB)
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, sig, {bi} AS band, "
+        "concat_ws('_', {parts}) AS key FROM sigs".format(
+            bi=bi,
+            parts=", ".join(f"sig[{bi*_R + j + 1}]" for j in range(_R)),
+        )
+        for bi in range(_BANDS)
+    )
+    return f"banded AS ({band_rows})"
+
+
+_MINHASH_LSH_ORACLE = f"""
+WITH {_sig_sql()}, {_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_filter(range(1, {_NUM_HASHES} + 1),
+      i -> sig_a[i] = sig_b[i])) AS n_agree
+FROM cand
+WHERE len(list_filter(range(1, {_NUM_HASHES} + 1),
+      i -> sig_a[i] = sig_b[i])) >= {_TAU_AGREE}
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_MINHASH_LSH_ORACLE)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        k=3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        tau=0.7,
+    )
+
+
+# ----------------------------------------------------------- simhash
+_BITS = 16
+_VOTES = ", ".join(
+    f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(_BITS)
+)
+_FP = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_BITS))
+
+_SIMHASH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_MD5L.format(e='u.w')} AS h
+  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents) u
+),
+votes AS (SELECT doc_id, {_VOTES} FROM w GROUP BY doc_id)
+SELECT doc_id, CAST({_FP} AS INT) AS simhash FROM votes
+"""
+
+
+@register("simhash_fingerprints", oracle=_SIMHASH_ORACLE)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load_table(spark, "documents", sf_dir), bits=_BITS)

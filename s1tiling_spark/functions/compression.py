@@ -196,6 +196,11 @@ def dod_encode(ts: np.ndarray) -> bytes:
     return w.bytes()
 
 
+def _wrap64(v: int) -> int:
+    """Wrap to signed int64 (numpy's diff wraps mod 2^64; mirror it)."""
+    return ((v + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
 def dod_decode(data: bytes) -> np.ndarray:
     def _signed(v: int, width: int) -> int:
         return v - (1 << width) if v >= (1 << (width - 1)) else v
@@ -209,17 +214,17 @@ def dod_decode(data: bytes) -> np.ndarray:
     if n == 1:
         return out
     delta = _signed(r.read(64), 64)
-    out[1] = out[0] + delta
+    out[1] = _wrap64(int(out[0]) + delta)
     for i in range(2, n):
         if r.read(1) == 0:
             pass
         elif r.read(1) == 0:
-            delta += _signed(r.read(7), 7)
+            delta = _wrap64(delta + _signed(r.read(7), 7))
         elif r.read(1) == 0:
-            delta += _signed(r.read(9), 9)
+            delta = _wrap64(delta + _signed(r.read(9), 9))
         elif r.read(1) == 0:
-            delta += _signed(r.read(12), 12)
+            delta = _wrap64(delta + _signed(r.read(12), 12))
         else:
-            delta += _signed(r.read(64), 64)
-        out[i] = out[i - 1] + delta
+            delta = _wrap64(delta + _signed(r.read(64), 64))
+        out[i] = _wrap64(int(out[i - 1]) + delta)
     return out

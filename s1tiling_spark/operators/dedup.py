@@ -1,0 +1,215 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline operators over the ``documents`` table — the
+generalization of the reference's redundant-product dedup
+(`/root/reference/s1tiling/libs/S1FileManager.py:332-363`: same
+start-time, keep canonical) from key-equality to content similarity.
+
+All of it is JVM-side column algebra (split/transform/md5/conv/
+explode/groupBy) — no Python UDFs — so Catalyst fuses the shingling
+into the scan and the heavy lifting is ordinary shuffles:
+
+- exact: groupBy(md5(text)) — shuffle O(docs).
+- n-gram Jaccard: shingle-explode → self-join on shingle → pair count.
+  Scales as O(Σ shingle-pair collisions); hot shingles are the skew
+  risk → the shingle join uses AQE skew handling, and stop-shingles
+  (appearing in > frac of docs) can be dropped ahead of the join.
+- MinHash+LSH: K minhashes per doc (array fold, no explode), banded →
+  explode only B band keys per doc → join on (band, key). At 10^12
+  docs this is THE scalable path: candidate pairs ≪ all pairs.
+- SimHash: one 16-bit fingerprint per doc via token-bit vote.
+
+Hash discipline: every hash is md5-derived (``conv(substr(md5(x),1,15),
+16, 10)``) — identical in Spark and DuckDB — never engine-specific
+(xxhash64 exists only on one side). Multiplier arithmetic keeps
+intermediates < 2^40 so BIGINT math never overflows (DuckDB raises on
+int64 overflow where Spark wraps — silent divergence otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_REDUCE = 1 << 20  # pre-mod so a*h + b stays < 2^40
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (short docs yield one shingle)."""
+    words = words_col(text)
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def md5_long(c: Column) -> Column:
+    """Deterministic 60-bit integer hash computable in any SQL engine:
+    first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min) doc_id and the duplicate count."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Documents surviving exact dedup (canonical row per text)."""
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# ----------------------------------------------------- n-gram Jaccard
+def jaccard_pairs(docs: DataFrame, k: int = 3, tau: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs with shingle-set Jaccard >= tau.
+
+    jaccard = inter / (|A| + |B| - inter); the threshold compare is done
+    in integer space (inter * 100 >= tau*100 * union) → exact."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    tau_pct = int(round(tau * 100))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter") * 100
+            >= tau_pct * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b")
+    )
+
+
+# ----------------------------------------------------------- MinHash
+def _minhash_sig(sh_hashes: Column, i: int) -> Column:
+    """i-th minhash: min over shingle hashes of (a_i*h' + b_i) mod P,
+    h' = h mod 2^20 (keeps products < 2^40 → no BIGINT overflow)."""
+    a = 2 * i + 1
+    b = 101 * i + 17
+    return F.array_min(
+        F.transform(
+            sh_hashes,
+            lambda h: F.pmod(
+                F.lit(a) * F.pmod(h, F.lit(MINHASH_REDUCE)) + F.lit(b),
+                F.lit(MINHASH_P),
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig array<long>) — one pass, no explode."""
+    sh_hashes = F.transform(shingles_col(F.col("text"), k), md5_long)
+    doc = docs.select("doc_id", sh_hashes.alias("shh"))
+    sigs = F.array(*[_minhash_sig(F.col("shh"), i) for i in range(num_hashes)])
+    return doc.select("doc_id", sigs.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    tau: float = 0.7,
+) -> DataFrame:
+    """LSH candidate generation + signature-similarity filter.
+
+    Bands of r = num_hashes/bands rows; docs sharing any band bucket are
+    candidates; keep pairs whose signature agreement >= tau."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[bi * r + j] for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    thresh = int(round(tau * num_hashes))
+    return (
+        cand.withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= thresh)
+        .select("doc_a", "doc_b", "n_agree")
+    )
+
+
+# ----------------------------------------------------------- SimHash
+def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """16-bit SimHash per document via word-hash bit votes. Explode +
+    groupBy keeps it one shuffle with partial aggregation."""
+    w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    w = w.withColumn("h", md5_long(F.col("w")))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("int").alias("simhash"))

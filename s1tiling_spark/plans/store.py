@@ -1,0 +1,207 @@
+"""Tier table store: MERGE-semantics sink + checkpoint + metrics.
+
+This is the engine's custom machinery (SURVEY §4 "custom-rule verdict"):
+the reference's incremental re-run layer — skip any task whose product
+file already exists (`product_exists` `/root/reference/s1tiling/libs/
+meta.py:95-103`; pruning `otbpipeline.py:749-756`; restart-from-existing
+`otbpipeline.py:814-819`) — generalized to snapshot/watermark bookkeeping
+over tier tables.
+
+Sandbox note: no Iceberg catalog is available, so MERGE is abstracted
+(SURVEY §7 "What's hard" #2) as *append + dedup-on-read*: every write
+carries a monotonically increasing ``commit_seq`` lineage column; readers
+keep the newest version of each (bucket_start, source) via a window
+rank. On a real deployment the same interface maps to Iceberg
+``MERGE INTO`` + snapshot ids; the checkpoint/planner logic is
+unchanged. Atomicity mirrors the reference's tmp→rename commit
+(`steps.py:123-145`): parquet writes go to a ``_tmp`` dir and are
+renamed into place, and the checkpoint row is committed only after the
+data rename — a crash between the two is repaired by recomputation +
+dedup-on-read (idempotent).
+
+Partition layout: tier tables are written partitioned by ``p_date``
+(the bucket's calendar date) — the analog of the reference's
+tile/date directory scheme — so bucket-range reads prune partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CHECKPOINT_DIR = "_checkpoint"
+METRICS_DIR = "_metrics"
+
+
+class TierStore:
+    """Directory-backed tier-table store with MERGE-on-read semantics."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ---------- paths ----------
+    def tier_path(self, tier: str) -> str:
+        return os.path.join(self.base_dir, f"tier_{tier}")
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.base_dir, CHECKPOINT_DIR)
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self.base_dir, METRICS_DIR)
+
+    # ---------- commit sequence ----------
+    def next_commit_seq(self) -> int:
+        """Monotonic commit counter (the sandbox stand-in for an Iceberg
+        snapshot id)."""
+        path = os.path.join(self.base_dir, "_commit_seq.json")
+        seq = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                seq = json.load(f)["seq"]
+        seq += 1
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq}, f)
+        os.replace(tmp, path)  # atomic, reference's tmp→rename commit
+        return seq
+
+    # ---------- data ----------
+    def append(self, tier: str, df: DataFrame, commit_seq: int, run_id: str) -> int:
+        """Append tier rows with lineage columns; returns rows written.
+
+        Lineage columns are the analog of the reference's propagated
+        TIFF metadata (`steps.py:344-403`).
+        """
+        out = (
+            df.withColumn("commit_seq", F.lit(commit_seq))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("p_date", F.to_date("bucket_start"))
+        )
+        rows = out.count()
+        if rows == 0:
+            return 0
+        tmp = self.tier_path(tier) + f"_tmp_{uuid.uuid4().hex}"
+        out.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
+        # move finished partition files into the live table dir
+        dest = self.tier_path(tier)
+        os.makedirs(dest, exist_ok=True)
+        for part in os.listdir(tmp):
+            if not part.startswith("p_date="):
+                continue
+            dpart = os.path.join(dest, part)
+            os.makedirs(dpart, exist_ok=True)
+            for fn in os.listdir(os.path.join(tmp, part)):
+                if fn.endswith(".parquet"):
+                    os.rename(os.path.join(tmp, part, fn), os.path.join(dpart, fn))
+        shutil.rmtree(tmp)
+        return rows
+
+    def read(
+        self,
+        tier: str,
+        deduped: bool = True,
+        keys: tuple[str, ...] = ("bucket_start", "source"),
+    ) -> DataFrame | None:
+        """Read a tier table; with ``deduped`` the newest commit wins per
+        natural key (default (bucket_start, source); histogram tables add
+        ``bin``) — MERGE-on-read."""
+        path = self.tier_path(tier)
+        if not os.path.isdir(path) or not any(
+            p.startswith("p_date=") for p in os.listdir(path)
+        ):
+            return None
+        df = self.spark.read.option("basePath", path).parquet(path)
+        if not deduped:
+            return df
+        w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    # ---------- checkpoint ----------
+    def read_watermarks(self, tier: str) -> DataFrame | None:
+        """Latest committed watermark per source for a tier, or None."""
+        path = self._ckpt_path()
+        if not os.path.isdir(path) or not os.listdir(path):
+            return None
+        ck = self.spark.read.parquet(path).filter(F.col("tier") == tier)
+        if ck.isEmpty():
+            return None
+        return ck.groupBy("source").agg(F.max("watermark").alias("watermark"))
+
+    def commit_checkpoint(
+        self, tier: str, watermarks: DataFrame, commit_seq: int, run_id: str
+    ) -> None:
+        """Commit per-source watermarks AFTER the data append succeeded
+        (crash between append and this call → recompute + dedup-on-read
+        repairs; never lost data, never double-counted)."""
+        rows = (
+            watermarks.select("source", "watermark")
+            .withColumn("tier", F.lit(tier))
+            .withColumn("commit_seq", F.lit(commit_seq))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        rows.write.mode("append").parquet(self._ckpt_path())
+
+    # ---------- metrics ----------
+    def append_metrics(self, rows: list[dict]) -> None:
+        """Per-partition metrics rows — analog of the reference's
+        outcome/error census (`api.py:477-487`)."""
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["run_id"],
+                    r["tier"],
+                    r["partition"],
+                    int(r["rows_in"]),
+                    int(r["rows_out"]),
+                    int(r.get("errors", 0)),
+                    int(r["wall_ms"]),
+                )
+                for r in rows
+            ],
+            "run_id string, tier string, partition string, rows_in long, "
+            "rows_out long, errors long, wall_ms long",
+        )
+        df.coalesce(1).write.mode("append").parquet(self._metrics_path())
+
+    def read_metrics(self) -> DataFrame | None:
+        path = self._metrics_path()
+        if not os.path.isdir(path) or not os.listdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    # ---------- retention ----------
+    def expire(self, tier: str, keep_after) -> int:
+        """Retention: drop partitions whose date < keep_after (the
+        reference's keep-newest-K cache policy,
+        `S1FileManager.py:735-748`, as a partition-level DELETE)."""
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return 0
+        dropped = 0
+        for part in list(os.listdir(path)):
+            if not part.startswith("p_date="):
+                continue
+            date_str = part.split("=", 1)[1]
+            if date_str < str(keep_after):
+                shutil.rmtree(os.path.join(path, part))
+                dropped += 1
+        return dropped
+
+
+def new_run_id() -> str:
+    return f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"

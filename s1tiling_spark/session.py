@@ -15,8 +15,28 @@ the data size changes by 1000×.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the s1tiling_spark package for shipping to executors — the
+    programmatic equivalent of ``spark-submit --py-files`` (north-rule
+    deployment mode). Cached per process."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "s1tiling_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
 
 
 def default_parallelism() -> int:
@@ -64,4 +84,7 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # make the package importable on executor Python workers no matter
+    # where the driver process was started from
+    spark.sparkContext.addPyFile(package_zip())
     return spark

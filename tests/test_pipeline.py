@@ -1,0 +1,152 @@
+"""Incremental tier pipeline: end-state equivalence under growth,
+re-run, and crash-resume.
+
+Models the reference's restart discipline — rerun after partial results
+must produce exactly the full-run outputs
+(`/root/reference/tests/test_0200306-NR.py:178-256`, masks-only restart)
+— as dataframe-equality of the deduped tier tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s1tiling_spark.plans.store import TierStore
+from s1tiling_spark.plans.tiers import TierPipeline, TierPipelineConfig
+from s1tiling_spark.sources.synth import synth_sequences
+from tests.helpers import assert_frames_match
+
+N = 4000
+SPLIT_TS = "2024-01-20 00:00:00"
+
+
+@pytest.fixture()
+def seq(spark):
+    return synth_sequences(spark, N).cache()
+
+
+def _tier_state(store, tier, keys=("bucket_start", "source")):
+    df = store.read(tier, keys=keys)
+    assert df is not None
+    drop = [c for c in ("commit_seq", "run_id", "p_date") if c in df.columns]
+    return df.drop(*drop).toPandas()
+
+
+def _full_run_state(spark, seq, tmp_path, name):
+    store = TierStore(spark, str(tmp_path / name))
+    TierPipeline(store).run(seq)
+    return store
+
+
+def test_single_run_matches_direct(spark, seq, tmp_path):
+    from s1tiling_spark.operators.rollup import rollup_sequences
+
+    store = _full_run_state(spark, seq, tmp_path, "single")
+    got = _tier_state(store, "1d")
+    want = rollup_sequences(seq, "1d").toPandas()
+    assert_frames_match(got, want)
+
+
+def test_incremental_growth_equals_oneshot(spark, seq, tmp_path):
+    """Run on the first 20 days, then on the grown table → identical
+    deduped state to a single full run (late rows in the boundary bucket
+    get MERGEd)."""
+    early = seq.filter(F.col("event_ts") < SPLIT_TS)
+    inc_store = TierStore(spark, str(tmp_path / "inc"))
+    pipe = TierPipeline(inc_store)
+    r1 = pipe.run(early)
+    assert r1["rows_out_total"] > 0
+    r2 = pipe.run(seq)  # table has grown; watermarks skip committed work
+    assert r2["rows_out_total"] > 0
+
+    full_store = _full_run_state(spark, seq, tmp_path, "full")
+    for tier in ("1h", "1d", "30d"):
+        assert_frames_match(
+            _tier_state(inc_store, tier), _tier_state(full_store, tier)
+        )
+    hk = ("bucket_start", "source", "bin")
+    for tier in ("hist_1d", "hist_30d"):
+        assert_frames_match(
+            _tier_state(inc_store, tier, hk), _tier_state(full_store, tier, hk)
+        )
+
+
+def test_incremental_skips_committed_buckets(spark, seq, tmp_path):
+    """Second run over an unchanged table must re-process only the
+    boundary bucket per source, not everything."""
+    store = TierStore(spark, str(tmp_path / "skip"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(seq)
+    r2 = pipe.run(seq)
+    m1h = next(m for m in r2["metrics"] if m["tier"] == "1h")
+    # boundary-bucket recompute only: a handful of rows per source
+    assert 0 < m1h["rows_out"] < 50
+    assert m1h["rows_in"] < seq.count() / 10
+
+
+def test_rerun_idempotent(spark, seq, tmp_path):
+    store = TierStore(spark, str(tmp_path / "idem"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(seq)
+    before = _tier_state(store, "1h")
+    pipe.run(seq)
+    pipe.run(seq)
+    assert_frames_match(_tier_state(store, "1h"), before)
+
+
+def test_crash_between_append_and_checkpoint(spark, seq, tmp_path):
+    """Simulate dying after the data append but before the checkpoint
+    commit: resume must repair to the exact full state."""
+    store = TierStore(spark, str(tmp_path / "crash"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    early = seq.filter(F.col("event_ts") < SPLIT_TS)
+    pipe.run(early)
+
+    # crash injection: append new tier data WITHOUT checkpointing
+    from s1tiling_spark.operators.rollup import rollup_sequences
+
+    crashed = rollup_sequences(seq.filter(F.col("event_ts") >= SPLIT_TS), "1h")
+    store.append("1h", crashed, store.next_commit_seq(), "run-crashed")
+
+    # resume: normal run over the full table
+    pipe.run(seq)
+    full_store = _full_run_state(spark, seq, tmp_path, "crash_full")
+    assert_frames_match(_tier_state(store, "1h"), _tier_state(full_store, "1h"))
+
+
+def test_metrics_and_lineage(spark, seq, tmp_path):
+    store = TierStore(spark, str(tmp_path / "metrics"))
+    pipe = TierPipeline(store)
+    res = pipe.run(seq)
+    m = store.read_metrics()
+    assert m is not None
+    tiers = {r["tier"] for r in m.collect()}
+    assert {"1h", "1d", "30d", "hist_1d", "hist_30d", "blocks_1h"} <= tiers
+    raw = store.read("1h", deduped=False)
+    assert {"commit_seq", "run_id", "p_date"} <= set(raw.columns)
+    assert raw.filter(F.col("run_id") == res["run_id"]).count() > 0
+
+
+def test_blocks_roundtrip_from_store(spark, seq, tmp_path):
+    from s1tiling_spark.operators.compress import decompress_blocks
+
+    store = TierStore(spark, str(tmp_path / "blocks"))
+    TierPipeline(store).run(seq)
+    blocks = store.read("blocks_1h")
+    pts = decompress_blocks(
+        blocks.withColumnRenamed("bucket_start", "block_start")
+    ).toPandas()
+    tier = _tier_state(store, "1h")
+    assert len(pts) == len(tier)
+
+
+def test_retention_expire(spark, seq, tmp_path):
+    store = TierStore(spark, str(tmp_path / "exp"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(seq)
+    before = store.read("1h").count()
+    dropped = store.expire("1h", "2024-01-15")
+    assert dropped > 0
+    after = store.read("1h").count()
+    assert after < before
+    assert store.read("1h").filter(F.col("bucket_start") < "2024-01-15").count() == 0
