@@ -7,4 +7,6 @@ from s1tiling_spark.catalog import (  # noqa: F401
     gapfill,
     relational,
     rollups,
+    similarity_queries,
+    textstats_queries,
 )

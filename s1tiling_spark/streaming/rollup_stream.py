@@ -1,0 +1,106 @@
+"""Structured Streaming variant of the 1h rollup: file-source stream →
+watermarked tumbling-window aggregate → foreachBatch MERGE into the
+TierStore.
+
+The reference has no stream abstraction (SURVEY §2.11); its
+incremental-batch loop (check product existence, process only what's
+new, `otbpipeline.py:749-756`) is exactly what
+``readStream`` + checkpointLocation + ``foreachBatch`` gives natively:
+new parquet files in the landing dir are discovered per micro-batch,
+the 10-minute watermark bounds state for late rows, and each
+micro-batch's window updates MERGE into the same tier tables the batch
+pipeline writes (append + dedup-on-read = update-in-place semantics).
+
+Run with ``trigger(availableNow=True)`` for incremental-batch mode (the
+reference's re-run model) or a processing-time trigger for continuous
+operation. State stays bounded: windows older than the watermark are
+evicted after emission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from s1tiling_spark.plans.store import TierStore, new_run_id
+
+SEQ_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+        StructField("event_ts", TimestampType()),
+    ]
+)
+
+
+def streaming_rollup_1h(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming 1h tier: one watermarked window aggregate."""
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "source")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+        .select(F.col("win.start").alias("bucket_start"), "source", "cnt",
+                "sum_n_tok", "min_n_tok", "max_n_tok")
+    )
+
+
+def run_stream_into_store(
+    spark: SparkSession,
+    landing_dir: str,
+    store: TierStore,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    watermark: str = "10 minutes",
+):
+    """Drive the streaming rollup into the tier store via foreachBatch.
+
+    Every micro-batch appends with a fresh commit_seq; dedup-on-read
+    keeps the newest version of each (bucket, source) — so in-window
+    updates across micro-batches converge to the final value, the
+    MERGE-late-partitions-idempotently requirement of the north rule.
+
+    ``watermark`` is the lateness tolerance: rows later than it are
+    dropped by the stream (state for their window was evicted) and must
+    be repaired by a batch backfill (plans.tiers.TierPipeline over the
+    raw table) — the same repair path as a crash.
+    """
+    agg = streaming_rollup_1h(spark, landing_dir, watermark=watermark)
+    run_id = new_run_id()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seq = store.next_commit_seq()
+        store.append("1h", batch_df, seq, f"{run_id}-b{batch_id}")
+        wm = batch_df.groupBy("source").agg(
+            F.max("bucket_start").alias("watermark")
+        )
+        store.commit_checkpoint("1h", wm, seq, f"{run_id}-b{batch_id}")
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query

@@ -1,0 +1,50 @@
+"""Streaming rollup: two micro-batch deliveries (second one late/
+overlapping) must converge to the exact batch-rollup state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.rollup import rollup_sequences
+from s1tiling_spark.plans.store import TierStore
+from s1tiling_spark.sources.synth import synth_sequences
+from s1tiling_spark.streaming.rollup_stream import run_stream_into_store
+from tests.helpers import assert_frames_match
+
+N = 3000
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    seq = synth_sequences(spark, N).cache()
+    # batch 1: the "early" 60% by hash; batch 2: the rest (arrives late,
+    # overlapping every bucket)
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    early = seq.filter(part < 6)
+    late = seq.filter(part >= 6)
+
+    # watermark wider than the data span: nothing is "too late", so the
+    # second delivery must MERGE into every overlapping window
+    early.write.mode("append").parquet(landing)
+    store = TierStore(spark, str(tmp_path / "store"))
+    q = run_stream_into_store(
+        spark, landing, store, str(tmp_path / "ckpt"),
+        available_now=True, watermark="60 days",
+    )
+    q.awaitTermination(240)
+
+    late.write.mode("append").parquet(landing)
+    q2 = run_stream_into_store(
+        spark, landing, store, str(tmp_path / "ckpt"),
+        available_now=True, watermark="60 days",
+    )
+    q2.awaitTermination(240)
+
+    got = (
+        store.read("1h")
+        .drop("commit_seq", "run_id", "p_date")
+        .toPandas()
+    )
+    want = rollup_sequences(seq, "1h").toPandas()
+    assert_frames_match(got, want)
