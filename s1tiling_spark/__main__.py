@@ -1,0 +1,91 @@
+"""CLI job runner — the spark-submit entry point.
+
+Deployment mode mandated by the north rule::
+
+    spark-submit --py-files /tmp/s1tiling_spark_pyfiles.zip \
+        -m ... job.py  # or simply:
+    python -m s1tiling_spark run --input <parquet_dir> --store <dir>
+
+Subcommands:
+  run        one incremental tier-pipeline run over the input table
+  synth      materialize the deterministic synthetic sequence table
+  expire     apply retention to a tier
+  metrics    dump the metrics table
+
+The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
+s1tiling/S1Processor.py:153-168`): parse config → register pipelines →
+process. Here config is argv, pipelines are the tier cascade, process
+is TierPipeline.run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="s1tiling_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="incremental tier pipeline run")
+    runp.add_argument("--input", required=True, help="sequence table parquet dir")
+    runp.add_argument("--store", required=True, help="tier store base dir")
+    runp.add_argument("--no-hist", action="store_true")
+    runp.add_argument("--no-compress", action="store_true")
+
+    synth = sub.add_parser("synth", help="materialize synthetic sequences")
+    synth.add_argument("--rows", type=int, required=True)
+    synth.add_argument("--out", required=True)
+    synth.add_argument("--seed", type=int, default=42)
+
+    exp = sub.add_parser("expire", help="retention: drop partitions before date")
+    exp.add_argument("--store", required=True)
+    exp.add_argument("--tier", required=True)
+    exp.add_argument("--before", required=True, help="YYYY-MM-DD")
+
+    met = sub.add_parser("metrics", help="dump metrics table")
+    met.add_argument("--store", required=True)
+
+    args = ap.parse_args(argv)
+
+    from s1tiling_spark.session import build_session
+
+    spark = build_session(app_name=f"s1tiling-spark-{args.cmd}")
+    try:
+        if args.cmd == "run":
+            from s1tiling_spark.plans.store import TierStore
+            from s1tiling_spark.plans.tiers import TierPipeline, TierPipelineConfig
+
+            store = TierStore(spark, args.store)
+            cfg = TierPipelineConfig(
+                hist=not args.no_hist, compress=not args.no_compress
+            )
+            res = TierPipeline(store, cfg).run(spark.read.parquet(args.input))
+            print(json.dumps(res))
+        elif args.cmd == "synth":
+            from s1tiling_spark.sources.synth import synth_sequences
+
+            synth_sequences(spark, args.rows, seed=args.seed).write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            print(json.dumps({"rows": args.rows, "out": args.out}))
+        elif args.cmd == "expire":
+            from s1tiling_spark.plans.store import TierStore
+
+            dropped = TierStore(spark, args.store).expire(args.tier, args.before)
+            print(json.dumps({"dropped_partitions": dropped}))
+        elif args.cmd == "metrics":
+            from s1tiling_spark.plans.store import TierStore
+
+            m = TierStore(spark, args.store).read_metrics()
+            for row in (m.collect() if m is not None else []):
+                print(json.dumps(row.asDict(), default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

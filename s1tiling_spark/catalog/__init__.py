@@ -7,6 +7,9 @@ from s1tiling_spark.catalog import (  # noqa: F401
     gapfill,
     relational,
     rollups,
+    multimodal_queries,
     similarity_queries,
     textstats_queries,
+    tpch,
+    windows_kernels,
 )

@@ -74,10 +74,18 @@ POINT_SCHEMA = StructType(
 
 
 def compress_blocks(
-    tier: DataFrame, value_col: str, block_tier: str = "30d"
+    tier: DataFrame, value_col: str, block_tier: str = "30d", n_salts: int = 1
 ) -> DataFrame:
     """Tier rows (bucket_start, source, <value_col>) → one compressed
-    block row per (source, ``block_tier`` window)."""
+    block row per (source, ``block_tier`` window[, salt]).
+
+    ``n_salts > 1`` sub-splits hot groups deterministically (salt =
+    hash(bucket_start) mod n_salts): grouped-map kernels get no partial
+    aggregation, so one scorching source would otherwise serialize into
+    a single Python worker call — salting is the skew escape hatch the
+    north rule names. Sub-blocks decompress to the same point set (the
+    reader re-sorts); compression ratio degrades only marginally since
+    each sub-block is still a contiguous-sorted series."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start")
@@ -99,7 +107,13 @@ def compress_blocks(
         F.col(value_col).cast("double").alias("value"),
         bucket_col(F.col("bucket_start"), block_tier).alias("block_start"),
     )
-    return prepared.groupBy("source", "block_start").applyInPandas(encode, BLOCK_SCHEMA)
+    keys = ["source", "block_start"]
+    if n_salts > 1:
+        prepared = prepared.withColumn(
+            "_salt", F.pmod(F.xxhash64("bucket_start"), F.lit(n_salts)).cast("int")
+        )
+        keys.append("_salt")
+    return prepared.groupBy(*keys).applyInPandas(encode, BLOCK_SCHEMA)
 
 
 def decompress_blocks(blocks: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TIERS = ("1h", "1d", "30d")
@@ -102,22 +102,105 @@ def token_hist_long(seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS) -> Dat
 
     Long form is the merge-able representation (map-sum across tiers =
     groupBy+sum on the same shape); :func:`assemble_hist` packs it into
-    a map column for the tier table."""
+    a map column for the tier table.
+
+    Physical shape (measured on 600M tokens, local[32]): hashing a
+    (timestamp, string, int) key per exploded token costs ~100s; an int
+    key costs ~7s. So the group key is dictionary-encoded first — the
+    distinct (bucket, source) pairs (O(thousands), read via a pruned
+    2-column scan) get a dense gid, broadcast-joined onto the rows
+    BEFORE the explode; the per-token aggregate then hashes (gid:int,
+    bin:int) only, and the gid is joined back after the aggregate on
+    O(groups) rows. Same trick a columnar engine's dictionary encoding
+    performs, expressed in the plan."""
     width = VOCAB // n_bins
-    return (
-        seq.select(
-            bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
-            "source",
-            F.explode("tokens").alias("token"),
+    pre = seq.select(
+        bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
+        "source",
+        "tokens",
+    )
+    keys = (
+        pre.select("bucket_start", "source")
+        .distinct()
+        .withColumn(
+            "gid",
+            F.row_number().over(Window.orderBy("bucket_start", "source")),
         )
+    )
+    hist = (
+        pre.join(F.broadcast(keys), ["bucket_start", "source"])
+        .select("gid", F.explode("tokens").alias("token"))
         .groupBy(
-            "bucket_start",
-            "source",
+            "gid",
             F.least(F.col("token") / F.lit(width), F.lit(n_bins - 1))
             .cast("int")
             .alias("bin"),
         )
         .agg(F.count("*").alias("tok_cnt"))
+    )
+    return hist.join(F.broadcast(keys), "gid").select(
+        "bucket_start", "source", "bin", "tok_cnt"
+    )
+
+
+def token_hist_long_arrow(
+    seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS
+) -> DataFrame:
+    """Same result as :func:`token_hist_long`, computed as Arrow-batched
+    numpy partial histograms instead of a row explode.
+
+    Measured VERDICT (local[32], 600k rows / 600M tokens): the explode
+    variant WINS (~131s cold / ~30s warm vs ~217-296s here) — Arrow
+    serialization of the token arrays into Python costs more than the
+    codegen'd explode+partial-agg saves. Kept as the documented
+    alternative because the trade flips when per-token work grows
+    beyond one agg update (e.g. multi-feature extraction per token),
+    and as the template for vectorized grouped kernels: each batch
+    emits ≤ groups×bins partial rows regardless of source hotness
+    (skew-free by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    width = VOCAB // n_bins
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pd.MultiIndex.from_arrays(
+                [pdf["bucket_start"], pdf["source"]]
+            )
+            codes, uniques = pd.factorize(keys)
+            lengths = pdf["tokens"].map(len).to_numpy()
+            row_codes = np.repeat(codes, lengths)
+            all_tokens = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            ) if lengths.sum() else np.empty(0, dtype=np.int64)
+            bins = np.minimum(all_tokens // width, n_bins - 1)
+            combined = row_codes * n_bins + bins
+            counts = np.bincount(combined, minlength=len(uniques) * n_bins)
+            nz = np.nonzero(counts)[0]
+            g = nz // n_bins
+            yield pd.DataFrame(
+                {
+                    "bucket_start": uniques.get_level_values(0)[g],
+                    "source": uniques.get_level_values(1)[g],
+                    "bin": (nz % n_bins).astype(np.int32),
+                    "tok_cnt": counts[nz].astype(np.int64),
+                }
+            )
+
+    prepared = seq.select(
+        bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
+        "source",
+        "tokens",
+    )
+    partial = prepared.mapInPandas(
+        kernel, "bucket_start timestamp, source string, bin int, tok_cnt long"
+    )
+    return partial.groupBy("bucket_start", "source", "bin").agg(
+        F.sum("tok_cnt").alias("tok_cnt")
     )
 
 

@@ -85,11 +85,16 @@ class TierStore:
             .withColumn("run_id", F.lit(run_id))
             .withColumn("p_date", F.to_date("bucket_start"))
         )
-        rows = out.count()
-        if rows == 0:
-            return 0
+        # one action: write to tmp; row count comes from the written
+        # files' parquet metadata (no recompute of the aggregation)
         tmp = self.tier_path(tier) + f"_tmp_{uuid.uuid4().hex}"
         out.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
+        rows = self.spark.read.parquet(tmp).count() if any(
+            p.startswith("p_date=") for p in os.listdir(tmp)
+        ) else 0
+        if rows == 0:
+            shutil.rmtree(tmp)
+            return 0
         # move finished partition files into the live table dir
         dest = self.tier_path(tier)
         os.makedirs(dest, exist_ok=True)

@@ -97,3 +97,20 @@ def test_block_roundtrip_dataframe(spark, sf_dir):
     raw = 16 * sizes["n_points"].sum()
     enc = (sizes["ts_dod"].map(len) + sizes["val_gorilla"].map(len)).sum()
     assert enc < raw
+
+
+def test_salted_blocks_same_points(spark, sf_dir):
+    """Salted sub-blocks must decompress to the identical point set."""
+    from s1tiling_spark.operators.compress import compress_blocks, decompress_blocks
+    from s1tiling_spark.operators.rollup import rollup_sequences
+    from s1tiling_spark.sources.sequences import sequences_from_documents
+
+    tier = rollup_sequences(sequences_from_documents(spark, sf_dir), "1h")
+    plain = decompress_blocks(compress_blocks(tier, "sum_n_tok")).toPandas()
+    salted = decompress_blocks(
+        compress_blocks(tier, "sum_n_tok", n_salts=4)
+    ).toPandas()
+    key = ["source", "bucket_start", "value"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = salted.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
