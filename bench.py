@@ -91,6 +91,37 @@ def run_tier_cascade(spark) -> dict:
     }
 
 
+def run_compute_cascade(spark) -> dict:
+    """CPU-bound variant for scaling evidence: the stats-tier cascade +
+    LOCF gap-fill over a spark.range-generated table (no tokens, no
+    parquet) — isolates the ENGINE's aggregation/window scaling from
+    this host's non-scaling parquet nested-decode path (PERF.md §6)."""
+    from s1tiling_spark.operators.gapfill import densify, locf
+    from s1tiling_spark.operators.rollup import rollup_from_lower, rollup_sequences
+    from s1tiling_spark.sources.synth import synth_sequences
+
+    seq = synth_sequences(spark, BENCH_ROWS, with_tokens=False, num_partitions=256)
+    t0 = time.time()
+    t1h = rollup_sequences(seq, "1h").persist()
+    out_rows = materialize(t1h)
+    t1d = rollup_from_lower(t1h, "1d").persist()
+    out_rows += materialize(t1d)
+    out_rows += materialize(rollup_from_lower(t1d, "30d"))
+    out_rows += materialize(locf(densify(t1h.select(
+        "bucket_start", "source", "cnt", "sum_n_tok"), "1h"),
+        ["cnt", "sum_n_tok"]))
+    elapsed = time.time() - t0
+    for df in (t1h, t1d):
+        df.unpersist()
+    points = BENCH_ROWS * 4
+    return {
+        "sec": elapsed,
+        "input_rows": BENCH_ROWS,
+        "output_rows": out_rows,
+        "points_per_sec": points / elapsed if elapsed > 0 else None,
+    }
+
+
 def main() -> None:
     from s1tiling_spark.session import build_session
 
@@ -100,6 +131,22 @@ def main() -> None:
     spark = build_session(master=f"local[{cpus}]", app_name="s1tiling-spark-bench")
 
     queries: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "compute":
+        cascade = run_compute_cascade(spark)
+        queries["tier_cascade"] = round(cascade["sec"], 3)
+        out = {
+            "metric": "compute-bound stats cascade (no I/O)",
+            "value": queries["tier_cascade"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": "synthetic",
+            "cpus": cpus,
+            "bench_rows": BENCH_ROWS,
+            "points_per_sec": round(cascade["points_per_sec"], 1),
+        }
+        spark.stop()
+        print(json.dumps(out))
+        return
     cascade = run_tier_cascade(spark)
     queries["tier_cascade"] = round(cascade["sec"], 3)
 

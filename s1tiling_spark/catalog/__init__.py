@@ -6,6 +6,7 @@ from s1tiling_spark.catalog import (  # noqa: F401
     dedup_queries,
     gapfill,
     relational,
+    relational2,
     rollups,
     multimodal_queries,
     similarity_queries,

@@ -23,18 +23,29 @@ from pyspark.sql import SparkSession
 def package_zip() -> str:
     """Zip the s1tiling_spark package for shipping to executors — the
     programmatic equivalent of ``spark-submit --py-files`` (north-rule
-    deployment mode). Cached per process."""
+    deployment mode). The zip name carries a content hash so edited
+    source is never masked by a stale cached zip."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join("/tmp", "s1tiling_spark_pyfiles.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                sources.append(full)
+    h = hashlib.sha256()
+    for full in sorted(sources):
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    out = os.path.join("/tmp", f"s1tiling_spark_pyfiles_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(out):
         tmp = out + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full in sources:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
         os.replace(tmp, out)
     return out
 
@@ -77,9 +88,15 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
     )
-    # local mode = one JVM; spark.driver.memory is the only heap knob
+    # local mode = one JVM; spark.driver.memory is the only heap knob.
+    # ParallelGC: measured 15-25x faster than the default G1 on this
+    # workload at large heaps (G1+48g: 130-230s for a 600M-token scan;
+    # ParallelGC+48g: 5-8s) — token-array decode allocates at a rate
+    # G1's region management collapses under.
     mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM") or "48g"
-    builder = builder.config("spark.driver.memory", mem)
+    builder = builder.config("spark.driver.memory", mem).config(
+        "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -38,8 +38,13 @@ def synth_sequences(
     seed: int = 42,
     max_tok: int = MAX_TOK_DEFAULT,
     num_partitions: int | None = None,
+    with_tokens: bool = True,
 ) -> DataFrame:
-    """Deterministic sequences table of ``n_rows`` rows."""
+    """Deterministic sequences table of ``n_rows`` rows.
+
+    ``with_tokens=False`` omits the token arrays (keeps doc_id/n_tok/
+    source/event_ts) — used by the compute-bound scaling bench where
+    the stats tiers are exercised without array materialization."""
     df = spark.range(0, n_rows, numPartitions=num_partitions)
     h1 = F.xxhash64(F.col("id"), F.lit(seed))
     h2 = F.xxhash64(F.col("id"), F.lit(seed + 1))
@@ -74,6 +79,13 @@ def synth_sequences(
         F.pmod(F.col("_hour_idx"), F.lit(53)) != F.pmod(F.crc32(F.col("source")), F.lit(53))
     )
 
+    if not with_tokens:
+        return out.select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+            "event_ts",
+        )
     tokens = F.transform(
         F.sequence(F.lit(1), F.col("n_tok")),
         lambda i: F.pmod(F.xxhash64(F.col("_id"), i, F.lit(seed + 3)), F.lit(VOCAB)).cast("int"),
