@@ -5,6 +5,7 @@ side so thresholds/hash parameters can never drift apart."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from s1tiling_spark.operators.dedup import (
     MINHASH_P,
@@ -41,14 +42,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- jaccard
+_MAX_DF = 100  # stop-shingle guard (mirrored in the oracle below)
+
 _JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shf AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_MAX_DF}) ok
+    USING (sh)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
 inter AS (
   SELECT x1.doc_id AS doc_a, x2.doc_id AS doc_b, count(*) AS inter
-  FROM sh x1 JOIN sh x2 ON x1.sh = x2.sh AND x1.doc_id < x2.doc_id
+  FROM shf x1 JOIN shf x2 ON x1.sh = x2.sh AND x1.doc_id < x2.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
@@ -60,7 +68,9 @@ WHERE inter * 100 >= 80 * (sa.n_sh + sb.n_sh - inter)
 
 @register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(load_table(spark, "documents", sf_dir), k=3, tau=0.8)
+    return jaccard_pairs(
+        load_table(spark, "documents", sf_dir), k=3, tau=0.8, max_df=_MAX_DF
+    )
 
 
 # ----------------------------------------------------------- minhash
@@ -83,13 +93,22 @@ def _sig_sql() -> str:
     )
 
 
-_MINHASH_SIG_ORACLE = f"WITH {_sig_sql()} SELECT doc_id, sig FROM sigs"
+# the driver's canonicalizer can't sort raw array columns, so the gate
+# compares the '_'-joined signature string — content-exact per row.
+_MINHASH_SIG_ORACLE = (
+    f"WITH {_sig_sql()} "
+    "SELECT doc_id, array_to_string(sig, '_') AS sig_key FROM sigs"
+)
 
 
 @register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(
+    sig = minhash_signatures(
         load_table(spark, "documents", sf_dir), k=3, num_hashes=_NUM_HASHES
+    )
+    return sig.select(
+        "doc_id",
+        F.concat_ws("_", F.col("sig").cast("array<string>")).alias("sig_key"),
     )
 
 
@@ -106,12 +125,19 @@ def _bands_sql() -> str:
     return f"banded AS ({band_rows})"
 
 
+_MAX_BUCKET = 100  # hot-bucket guard (mirrored both engines)
+
 _MINHASH_LSH_ORACLE = f"""
 WITH {_sig_sql()}, {_bands_sql()},
+bandf AS (
+  SELECT x.* FROM banded x
+  JOIN (SELECT band, key FROM banded GROUP BY band, key
+        HAVING count(*) <= {_MAX_BUCKET}) ok USING (band, key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b
-  FROM banded a JOIN banded b
+  FROM bandf a JOIN bandf b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -131,6 +157,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         tau=0.7,
+        max_bucket=_MAX_BUCKET,
     )
 
 

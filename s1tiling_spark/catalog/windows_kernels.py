@@ -95,12 +95,16 @@ def sql_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pass-through invariant (BASELINE.json input_hint): a calibration-style
 # pass-through must preserve token arrays EXACTLY — the analog of the
 # reference's Calibrate step leaving pixel geometry untouched
-# (`s1_to_s2.py:346-419`) under the 1e-12 golden compare.
+# (`s1_to_s2.py:346-419`) under the 1e-12 golden compare. The driver's
+# canonicalizer can't sort raw array columns, so the gate compares an
+# md5 digest of the full token payload per row — content-exact (any
+# changed/reordered/dropped token changes the digest), and sortable.
 @register(
     "passthrough_tokens",
     oracle=(
         f"WITH {SEQUENCES_ORACLE_CTE} "
-        "SELECT doc_id, tokens, n_tok, source FROM sequences"
+        "SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_digest, "
+        "n_tok, source FROM sequences"
     ),
 )
 def passthrough_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,5 +115,12 @@ def passthrough_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("n_tok") >= 0)
         .withColumn("_valid", F.size("tokens") == F.col("n_tok"))
         .filter(F.col("_valid"))
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias(
+                "tokens_digest"
+            ),
+            "n_tok",
+            "source",
+        )
     )

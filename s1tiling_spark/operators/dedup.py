@@ -77,14 +77,32 @@ def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------- n-gram Jaccard
-def jaccard_pairs(docs: DataFrame, k: int = 3, tau: float = 0.8) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, tau: float = 0.8, max_df: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs with shingle-set Jaccard >= tau.
 
     jaccard = inter / (|A| + |B| - inter); the threshold compare is done
-    in integer space (inter * 100 >= tau*100 * union) → exact."""
+    in integer space (inter * 100 >= tau*100 * union) → exact.
+
+    ``max_df`` is the stop-shingle guard: shingles appearing in more
+    than ``max_df`` documents are dropped, and Jaccard is computed over
+    the FILTERED shingle space (sizes too — boilerplate stops inflating
+    both numerator and denominator). A shingle shared by d docs yields
+    d(d-1)/2 join rows — one boilerplate sentence across a 10^12-doc
+    corpus is a quadratic bomb without this; same intent as the
+    reference's redundant-input pruning (S1FileManager.py:332-363)."""
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -140,16 +158,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     tau: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + signature-similarity filter.
 
     Bands of r = num_hashes/bands rows; docs sharing any band bucket are
-    candidates; keep pairs whose signature agreement >= tau."""
+    candidates; keep pairs whose signature agreement >= tau.
+
+    Shuffle discipline (the 100 TB shape):
+    - the signature relation is computed ONCE and persisted — the
+      banded self-join and both re-attach joins read the cache instead
+      of re-running shingling + num_hashes minhash folds per side;
+    - the self-join carries only (band, key, doc_id) — the sig arrays
+      never travel through the candidate shuffle; they are re-attached
+      AFTER dedup by two equi-joins against the cached signature table,
+      so join payload is O(candidates × 8 bytes), not × num_hashes;
+    - ``max_bucket`` drops hot band buckets (> max_bucket docs sharing
+      one band key) before the self-join — a degenerate bucket of d
+      docs yields d(d-1)/2 candidates; boilerplate-heavy corpora need
+      this cap or one bucket quadratically dominates the job.
+    """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes)
+    sig = minhash_signatures(docs, k, num_hashes).persist()
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -163,7 +195,15 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(ok, ["band", "key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -176,10 +216,15 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
     agree = F.size(
         F.filter(
@@ -189,7 +234,7 @@ def minhash_lsh_pairs(
     )
     thresh = int(round(tau * num_hashes))
     return (
-        cand.withColumn("n_agree", agree)
+        pairs.withColumn("n_agree", agree)
         .filter(F.col("n_agree") >= thresh)
         .select("doc_a", "doc_b", "n_agree")
     )

@@ -82,20 +82,10 @@ def cosine_topk(
     )
 
 
-def near_dup_pairs(emb: DataFrame, tau: float = 0.97) -> DataFrame:
-    """All vector pairs with cosine >= tau. Threshold test done as
-    dot >= 0 AND dot^2 >= tau^2 * na * nb on exact integers (cast to
-    double only for the final compare — same IEEE values both engines)."""
-    prep = _prepared(emb)
-    a = prep.alias("a")
-    b = prep.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        int_dot(F.col("a.qv"), F.col("b.qv")).alias("dot"),
-        F.col("a.nrm").alias("na"),
-        F.col("b.nrm").alias("nb"),
-    )
+def _cos_filter(pairs: DataFrame, tau: float) -> DataFrame:
+    """Exact integer-cosine threshold over (id_a, id_b, dot, na, nb):
+    dot > 0 AND dot^2 >= tau^2 * na * nb (cast to double only for the
+    final compare — same IEEE values both engines)."""
     t2 = tau * tau
     return (
         pairs.filter(
@@ -112,6 +102,120 @@ def near_dup_pairs(emb: DataFrame, tau: float = 0.97) -> DataFrame:
             ).alias("cos"),
         )
     )
+
+
+def near_dup_pairs(emb: DataFrame, tau: float = 0.97) -> DataFrame:
+    """All vector pairs with cosine >= tau — the exact small-scale
+    formulation (O(N²) theta join): correct as an oracle/baseline, NOT
+    the scale path. Use :func:`near_dup_pairs_lsh` beyond ~10^5 rows."""
+    prep = _prepared(emb)
+    a = prep.alias("a")
+    b = prep.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        int_dot(F.col("a.qv"), F.col("b.qv")).alias("dot"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
+    )
+    return _cos_filter(pairs, tau)
+
+
+def srp_band_keys(qv: Column, bands: int, r: int) -> Column:
+    """Array of `bands` structs (band, key): key packs the sign bits of
+    ``r`` consecutive SRP hyperplanes. Two vectors are LSH candidates
+    iff they share some band's full key — the MinHash banding scheme
+    applied to signed random projections."""
+    def _proj(j: int) -> Column:
+        return F.aggregate(
+            F.transform(qv, lambda x, i: x * srp_weight(i, j)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    signs = [
+        F.when(_proj(j) > 0, F.lit(1)).otherwise(F.lit(0))
+        for j in range(bands * r)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (signs[b * r + j] * F.lit(1 << j) for j in range(1, r)),
+                    signs[b * r],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def near_dup_pairs_lsh(
+    emb: DataFrame, tau: float = 0.97, bands: int = 8, r: int = 2
+) -> DataFrame:
+    """Near-duplicate pairs at scale: banded-SRP candidate generation +
+    exact integer-cosine verification.
+
+    Scale shape (vs the all-pairs theta join): every join here is an
+    equi-join — candidates come from `bands` equality buckets per
+    vector, so work is O(Σ bucket-collisions), not O(N²). Recall is
+    1-(1-p^r)^bands with p = 1 - θ/π the per-plane agreement
+    probability; at tau=0.45 (θ≈63°), 8 bands × 2 planes gives ~0.99
+    per-pair — tune (bands, r) up for recall, down for pruning. The
+    verification step is exact, so precision is always 1.0; candidates
+    the planes miss are the only loss (measured in
+    tests/test_similarity_lsh.py against the all-pairs baseline).
+
+    Join discipline: the prepared (qv, nrm) relation is persisted and
+    the band self-join carries only (band, key, vec_id); vectors are
+    re-attached to the deduped candidate pairs afterwards — the qv
+    arrays never ride the candidate shuffle."""
+    prep = _prepared(emb).persist()
+    banded = prep.select(
+        "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(
+            prep.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("qv").alias("qv_a"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            prep.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("qv").alias("qv_b"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            int_dot(F.col("qv_a"), F.col("qv_b")).alias("dot"),
+            "na",
+            "nb",
+        )
+    )
+    return _cos_filter(pairs, tau)
 
 
 def srp_weight(d: Column, j: int) -> Column:

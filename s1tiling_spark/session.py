@@ -97,6 +97,14 @@ def build_session(
     builder = builder.config("spark.driver.memory", mem).config(
         "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
     )
+    # Optional task-concurrency cap: spark.task.cpus > 1 runs fewer
+    # concurrent tasks than slots. Useful when the host's usable
+    # memory-bandwidth parallelism is below its core count (PERF.md §6:
+    # this sandbox realizes ~8 threads of JVM scan work regardless of
+    # core count). On a real cluster, size executors instead.
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    if task_cpus:
+        builder = builder.config("spark.task.cpus", task_cpus)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -40,7 +40,6 @@ def test_locf_values(spark, tier):
 
 
 def test_linear_values(spark, tier):
-    dense = densify(tier, "1h").withColumn("v", densify(tier, "1h")["cnt"] * 1.0)
     dense = densify(tier, "1h").selectExpr(
         "source", "bucket_start", "CAST(cnt AS DOUBLE) AS v", "gap_filled"
     )

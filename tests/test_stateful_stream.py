@@ -3,7 +3,8 @@ across micro-batches so cross-batch gaps are caught."""
 
 from __future__ import annotations
 
-import pandas as pd
+from datetime import datetime
+
 from pyspark.sql import functions as F
 
 from s1tiling_spark.streaming.rollup_stream import SEQ_SCHEMA
@@ -12,7 +13,10 @@ from s1tiling_spark.streaming.stateful import gap_detector_stream
 
 def _write_rows(spark, path, rows):
     df = spark.createDataFrame(
-        [(f"d{i}", [1, 2], 2, src, pd.Timestamp(ts)) for i, (src, ts) in enumerate(rows)],
+        [
+            (f"d{i}", [1, 2], 2, src, datetime.fromisoformat(ts))
+            for i, (src, ts) in enumerate(rows)
+        ],
         schema=SEQ_SCHEMA,
     )
     df.write.mode("append").parquet(path)
