@@ -128,7 +128,25 @@ def main() -> None:
     import __spark_entry__ as e
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = build_session(master=f"local[{cpus}]", app_name="s1tiling-spark-bench")
+    # Host-calibrated task concurrency: this sandbox realizes only ~8
+    # threads of memory-intensive JVM work regardless of core count
+    # (PERF.md §6; four independent measurements). Running 32 concurrent
+    # scan/agg tasks thrashes — spark.task.cpus caps concurrent tasks at
+    # ~8 while keeping the requested local[N] master. Measured on the
+    # flagship cascade (interleaved A/B, 600k rows): 91-213 s at 32
+    # concurrent tasks vs 21 s at 8. Override with SPARK_GRAFT_TASK_CPUS;
+    # on a real cluster leave it at 1 and size executors instead.
+    extra_conf = {}
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or (
+        str(cpus // 8) if cpus > 8 else None
+    )
+    if task_cpus and int(task_cpus) > 1:
+        extra_conf["spark.task.cpus"] = task_cpus
+    spark = build_session(
+        master=f"local[{cpus}]",
+        app_name="s1tiling-spark-bench",
+        extra_conf=extra_conf,
+    )
 
     queries: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "compute":
