@@ -157,6 +157,39 @@ def dem_geoid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# CutBorders (`ResetMargins`/cut helpers,
+# `/root/reference/s1tiling/libs/otbwrappers/s1_to_s2.py:422-530`): the
+# reference trims noisy sensor-edge rows from each image; here the
+# "image" is a source's time-ordered bucket series and the trim drops
+# the first/last 2 buckets per source — a rank-from-both-ends window,
+# not a value filter.
+_CUT_K = 2
+
+
+@register(
+    "cut_borders",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE}, "
+        "r AS (SELECT bucket_start, source, cnt, "
+        "row_number() OVER (PARTITION BY source ORDER BY bucket_start ASC) AS rn_a, "
+        "row_number() OVER (PARTITION BY source ORDER BY bucket_start DESC) AS rn_d "
+        "FROM tier) "
+        f"SELECT bucket_start, source, cnt FROM r WHERE rn_a > {_CUT_K} AND rn_d > {_CUT_K}"
+    ),
+)
+def cut_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = _tier_1h(spark, sf_dir)
+    wa = Window.partitionBy("source").orderBy(F.asc("bucket_start"))
+    wd = Window.partitionBy("source").orderBy(F.desc("bucket_start"))
+    return (
+        tier.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .filter((F.col("rn_a") > _CUT_K) & (F.col("rn_d") > _CUT_K))
+        .select("bucket_start", "source", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------
 # IPF version extract + compare (`get_ipf_version` /
 # `s1_process --ipf` gating; the reference parses the IPF version from
 # manifest metadata and branches on it — e.g. calibration changes at

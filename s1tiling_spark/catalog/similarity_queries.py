@@ -35,6 +35,7 @@ from s1tiling_spark.operators.similarity import (
     QUANT,
     ann_lsh_topk,
     cosine_topk,
+    ivf_topk,
     near_dup_pairs,
     near_dup_pairs_lsh,
 )
@@ -113,6 +114,60 @@ SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
 @register("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load_table(spark, "embeddings", sf_dir), k=_K, query_mod=_QUERY_MOD)
+
+
+# --- IVF ANN: coarse cells + nprobe probing + exact re-rank.
+# Oracle mirrors the deterministic codebook/assignment exactly.
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH {_PREP},
+cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM prepn
+          WHERE vec_id < {_IVF_CELLS}),
+assign AS (
+  SELECT p.vec_id, c.cid,
+    CAST(list_sum(list_transform(range(1, len(p.qv)+1),
+         i -> p.qv[i]*c.cqv[i])) AS BIGINT)
+      / sqrt(CAST(p.nrm * c.cnrm AS DOUBLE)) AS ccos
+  FROM prepn p CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crk
+  FROM assign
+),
+cell AS (SELECT vec_id, cid FROM ranked WHERE crk = 1),
+qprobe AS (SELECT vec_id AS q_id, cid FROM ranked
+           WHERE crk <= {_IVF_NPROBE} AND vec_id % {_QUERY_MOD} = 0),
+cand AS (
+  SELECT q.q_id, x.vec_id FROM qprobe q JOIN cell x USING (cid)
+  WHERE x.vec_id <> q.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+    CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+         i -> a.qv[i]*b.qv[i])) AS BIGINT)
+      / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+  FROM cand c
+  JOIN prepn a ON a.vec_id = c.q_id
+  JOIN prepn b ON b.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= {_K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        load_table(spark, "embeddings", sf_dir),
+        k=_K,
+        query_mod=_QUERY_MOD,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+    )
 
 
 def _band_key_sql(alias: str, band: int, r: int) -> str:

@@ -237,6 +237,80 @@ def srp_bucket(qv: Column) -> Column:
     return bucket.cast("int")
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe the query's ``nprobe`` nearest cells, exact re-rank inside.
+
+    The scale anatomy (classic IVF, e.g. Faiss's IndexIVFFlat):
+    - centroids: a small deterministic codebook (here: the first
+      ``n_cells`` vectors — a seeded k-means would slot in the same
+      place; determinism is what the oracle needs);
+    - assignment: broadcast the codebook, one argmax per vector — a
+      single O(N·C) map pass, no shuffle beyond the argmax window;
+    - search: candidates = equi-join on cell id, so work is
+      O(Q · nprobe · N/C) instead of O(Q · N).
+
+    All similarity math is the exact integer-cosine discipline of this
+    module; ties break on smaller id, so results are deterministic at
+    any parallelism.
+    """
+    prep = _prepared(emb).persist()
+    cents = prep.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored_cells = prep.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (
+            int_dot(F.col("qv"), F.col("cqv"))
+            / F.sqrt((F.col("nrm") * F.col("cnrm")).cast("double"))
+        ).alias("ccos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored_cells.withColumn("crk", F.row_number().over(wc))
+    cell = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
+    qprobe = (
+        ranked.filter(
+            (F.col("crk") <= nprobe)
+            & (F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+        ).select(F.col("vec_id").alias("q_id"), "cid")
+    )
+    cand = qprobe.join(cell, "cid").filter(F.col("vec_id") != F.col("q_id"))
+    scored = (
+        cand.join(
+            prep.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("qv").alias("q_qv"),
+                F.col("nrm").alias("q_nrm"),
+            ),
+            "q_id",
+        )
+        .join(prep, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                int_dot(F.col("q_qv"), F.col("qv"))
+                / F.sqrt((F.col("q_nrm") * F.col("nrm")).cast("double"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos", "rk")
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     """ANN: candidates share the SRP bucket; exact re-rank within the
     bucket (same integer-cosine ordering as brute force)."""

@@ -24,6 +24,7 @@ SANCTIONED_LOOP_JOINS = {
     "ann_brute_topk",  # broadcast query side over corpus — stated baseline
     "embedding_near_dup_exact",  # oracle-only exact formulation
     "range_join",  # interval theta-join, broadcast small side by design
+    "ann_ivf_topk",  # broadcast 16-row codebook × corpus: the O(N·C) assignment pass
 }
 
 POSITIVE_SHAPES = {
