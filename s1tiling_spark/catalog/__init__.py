@@ -12,6 +12,7 @@ from s1tiling_spark.catalog import (  # noqa: F401
     multimodal_queries,
     similarity_queries,
     textstats_queries,
+    timeseries_extras,
     tpch,
     windows_kernels,
 )

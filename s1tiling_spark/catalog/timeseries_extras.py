@@ -1,0 +1,156 @@
+"""Timeseries rollup extensions a production tier engine needs beyond
+min/max/sum: per-bucket heavy hitters (top-k tokens), exact quantile
+rollups, and batch gaps-and-islands detection.
+
+These generalize the reference's per-group reductions (mosaic argmax
+`lia.py:1693-1769`, coverage sums `lia.py:1658-1683`) to the sketch/
+order-statistics family every timeseries store (Timescale continuous
+aggregates, M3 rollups) ships.
+
+Determinism: heavy hitters tie-break on token id; quantiles use
+Spark `percentile` == DuckDB `quantile_cont` (verified bit-identical
+linear interpolation on both engines); islands are pure integer
+arithmetic on hour indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_long, cms_sql_col
+from s1tiling_spark.registry import register
+from s1tiling_spark.sources.sequences import SEQUENCES_ORACLE_CTE, sequences_from_documents
+
+_TOPK = 5
+
+
+# ---------------------------------------------------------------------
+# Heavy hitters: top-k tokens per (1d bucket, source). The long-form
+# census (explode → count) is the same merge-able shape as the
+# histogram sketch; the rank-k head is the per-bucket "what dominates
+# this partition" query a training-data pipeline asks constantly
+# (which tokens/boilerplate dominate a source-day).
+@register(
+    "top_tokens_1d",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "tc AS (SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        "  u.tok AS token, count(*) AS tok_cnt "
+        "  FROM sequences, unnest(tokens) AS u(tok) GROUP BY 1, 2, 3), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start, source "
+        "  ORDER BY tok_cnt DESC, token ASC) AS rk FROM tc) "
+        f"SELECT bucket_start, source, token, tok_cnt, CAST(rk AS INT) AS rk "
+        f"FROM r WHERE rk <= {_TOPK}"
+    ),
+)
+def top_tokens_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = sequences_from_documents(spark, sf_dir)
+    tc = (
+        seq.select(
+            F.date_trunc("day", "event_ts").alias("bucket_start"),
+            "source",
+            F.explode("tokens").alias("token"),
+        )
+        .groupBy("bucket_start", "source", "token")
+        .agg(F.count("*").alias("tok_cnt"))
+    )
+    w = Window.partitionBy("bucket_start", "source").orderBy(
+        F.desc("tok_cnt"), F.asc("token")
+    )
+    return (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("bucket_start", "source", "token", "tok_cnt", "rk")
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact quantiles per (1d bucket, source): median + p90 of n_tok.
+# Spark `percentile` and DuckDB `quantile_cont` implement the same
+# linear interpolation — verified bit-identical (see module docstring).
+# At 100 TB exact per-group percentiles are fine when group cardinality
+# is bounded (buckets × sources); the streaming/approximate variant is
+# `percentile_approx`, deliberately NOT oracle-gated.
+@register(
+    "bucket_quantiles_1d",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE} "
+        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        "quantile_cont(n_tok, 0.5) AS p50_n_tok, "
+        "quantile_cont(n_tok, 0.9) AS p90_n_tok "
+        "FROM sequences GROUP BY 1, 2"
+    ),
+)
+def bucket_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.groupBy(
+        F.date_trunc("day", "event_ts").alias("bucket_start"), "source"
+    ).agg(
+        F.percentile("n_tok", 0.5).alias("p50_n_tok"),
+        F.percentile("n_tok", 0.9).alias("p90_n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch per (1d bucket, source): merge-able frequency
+# sketch (operators/sketch.py). md5-derived row hashes → bit-identical
+# in DuckDB, so even the sketch is oracle-gated.
+def _cms_oracle() -> str:
+    depth_rows = " UNION ALL ".join(
+        f"SELECT bucket_start, source, {d} AS depth, "
+        f"{cms_sql_col('token', d, CMS_WIDTH)} AS col FROM tok"
+        for d in range(CMS_DEPTH)
+    )
+    return (
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "tok AS (SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        "  u.tok AS token FROM sequences, unnest(tokens) AS u(tok)), "
+        f"cells AS ({depth_rows}) "
+        "SELECT bucket_start, source, depth, col, count(*) AS cnt "
+        "FROM cells GROUP BY 1, 2, 3, 4"
+    )
+
+
+@register("cms_sketch_1d", oracle=_cms_oracle())
+def cms_sketch_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = sequences_from_documents(spark, sf_dir)
+    return cms_long(seq, F.date_trunc("day", F.col("event_ts")))
+
+
+# ---------------------------------------------------------------------
+# Gaps-and-islands (batch analog of the streaming gap detector,
+# streaming/stateful.py): contiguous runs of present 1h buckets per
+# source via the classic hour_index - row_number() group key; one row
+# per island with its span and length. Pure integer arithmetic.
+@register(
+    "gap_islands",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "tier AS (SELECT DISTINCT date_trunc('hour', event_ts) AS bucket_start, "
+        "  source FROM sequences), "
+        "g AS (SELECT source, bucket_start, "
+        "  CAST(epoch(bucket_start) AS BIGINT) / 3600 "
+        "  - row_number() OVER (PARTITION BY source ORDER BY bucket_start) AS grp "
+        "FROM tier) "
+        "SELECT source, min(bucket_start) AS island_start, "
+        "max(bucket_start) AS island_end, count(*) AS n_buckets "
+        "FROM g GROUP BY source, grp"
+    ),
+)
+def gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = sequences_from_documents(spark, sf_dir)
+    tier = seq.select(
+        F.date_trunc("hour", "event_ts").alias("bucket_start"), "source"
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("bucket_start")
+    g = tier.withColumn(
+        "grp",
+        (F.unix_timestamp("bucket_start") / 3600).cast("long")
+        - F.row_number().over(w),
+    )
+    return g.groupBy("source", "grp").agg(
+        F.min("bucket_start").alias("island_start"),
+        F.max("bucket_start").alias("island_end"),
+        F.count("*").alias("n_buckets"),
+    ).drop("grp")

@@ -1,0 +1,129 @@
+"""Count-min sketch per retention bucket — a merge-able frequency
+sketch for token streams where the exact census is too wide.
+
+The tier tables carry an exact 64-bin histogram (operators/rollup.py);
+a CMS answers point queries ("how often did token T appear in this
+source-day") with bounded overestimate using depth × width counters
+regardless of vocabulary size. Long form ``(bucket_start, source,
+depth, col, cnt)`` makes the merge a groupBy-sum — identical shape to
+the histogram cascade, so 1d→30d rollup is the same merge-able-partial
+pattern as the reference's coverage accumulation
+(`/root/reference/s1tiling/libs/otbwrappers/lia.py:1658-1683`).
+
+Hash discipline: row hashes are md5-derived (`conv(substr(md5,1,15))`),
+so the sketch is bit-identical in Spark and DuckDB (oracle-gated) and
+at any parallelism. Everything is JVM column algebra — the explode
+produces DEPTH entries per token, collapsed by map-side partial
+aggregation to ≤ groups × DEPTH × WIDTH rows per task before the
+shuffle (the same bound that makes the histogram skew-neutral).
+
+Estimate = min over depths of the (depth, h_depth(token)) counter —
+classic CMS guarantee: never an underestimate; overestimate bounded by
+collisions (tests/test_cms.py asserts both on the fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_col(token: Column, depth: int, width: int) -> Column:
+    """Column index of `token` in hash row `depth` (md5-derived)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{depth}:"), token.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_sql_col(token_expr: str, depth: int, width: int) -> str:
+    """DuckDB mirror of :func:`_cms_col`."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('cms{depth}:' || CAST({token_expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {width} AS INT)"
+    )
+
+
+def cms_long(
+    seq: DataFrame,
+    bucket: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Token stream → long-form CMS per (bucket, source): one row per
+    non-zero (depth, col) counter."""
+    tok = seq.select(
+        bucket.alias("bucket_start"), "source", F.explode("tokens").alias("token")
+    )
+    cells = tok.select(
+        "bucket_start",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_col(F.col("token"), d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    )
+    return (
+        cells.groupBy(
+            "bucket_start", "source", F.col("dc.depth").alias("depth"), F.col("dc.col").alias("col")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(lower: DataFrame, bucket: Column) -> DataFrame:
+    """Cascade a long-form CMS to a coarser tier: cell-wise sum (the
+    CMS merge operation — counters are linear)."""
+    return (
+        lower.groupBy(
+            bucket.alias("bucket_start"), "source", "depth", "col"
+        ).agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, tokens: DataFrame, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-query estimates: for each (bucket_start, source, token) in
+    `tokens`, min over depths of the matching counter (absent counter =
+    0 can't happen for a token that appeared; for never-seen tokens the
+    min over found cells still upper-bounds the true count of 0)."""
+    probes = tokens.select(
+        "bucket_start",
+        "source",
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_col(F.col("token"), d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    ).select(
+        "bucket_start", "source", "token",
+        F.col("dc.depth").alias("depth"), F.col("dc.col").alias("col"),
+    )
+    joined = probes.join(cms, ["bucket_start", "source", "depth", "col"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy("bucket_start", "source", "token").agg(
+        F.min("cnt").alias("est")
+    )
