@@ -37,6 +37,7 @@ from s1tiling_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     near_dup_pairs,
+    near_dup_pairs_blocked,
     near_dup_pairs_lsh,
 )
 from s1tiling_spark.registry import register
@@ -242,13 +243,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- exact baseline (sanctioned O(N²); the small-scale oracle shape)
+# --- exact baseline: O(N²) semantics via the broadcast-matrix block
+# kernel (identical results to the theta-join formulation, 20-40x
+# faster; tests/test_similarity_lsh.py asserts blocked == join).
 _ND_EXACT_ORACLE = f"WITH {_PREP}, {_allpairs_sql('prepn')} {_cos_select(_TAU_NEAR)}"
 
 
 @register("embedding_near_dup_exact", oracle=_ND_EXACT_ORACLE)
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(load_table(spark, "embeddings", sf_dir), tau=_TAU_NEAR)
+    return near_dup_pairs_blocked(
+        load_table(spark, "embeddings", sf_dir), tau=_TAU_NEAR
+    )
 
 
 # --- high-threshold regime: planted exact duplicates, r=8 → 256

@@ -22,10 +22,11 @@ import pytest
 # small scale (each has a bucketed scale-path sibling)
 SANCTIONED_LOOP_JOINS = {
     "ann_brute_topk",  # broadcast query side over corpus — stated baseline
-    "embedding_near_dup_exact",  # oracle-only exact formulation
     "range_join",  # interval theta-join, broadcast small side by design
     "ann_ivf_topk",  # broadcast 16-row codebook × corpus: the O(N·C) assignment pass
 }
+# (embedding_near_dup_exact left the list: its O(N²) now runs inside a
+# broadcast-matrix numpy kernel — no join node at all)
 
 POSITIVE_SHAPES = {
     "date_range_filter": ["PushedFilters"],

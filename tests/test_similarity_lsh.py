@@ -50,6 +50,28 @@ def test_planted_duplicates_full_recall(spark):
     assert all(b - a == 10_000_000 for a, b in got)
 
 
+def test_blocked_equals_join_formulation(spark):
+    """The broadcast-matrix block kernel must reproduce the DataFrame
+    theta-join's exact pairs AND cosines bit-for-bit (same quantized
+    integers, same int64-product-then-convert float discipline)."""
+    from s1tiling_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_blocked,
+    )
+    from s1tiling_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_ORACLE)
+    join_rows = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in near_dup_pairs(emb, tau=0.45).collect()
+    }
+    blocked_rows = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in near_dup_pairs_blocked(emb, tau=0.45).collect()
+    }
+    assert blocked_rows == join_rows  # keys AND float values exact
+
+
 def test_jaccard_stop_shingle_guard_noop(spark, sf_dir):
     """At a sane max_df the guard drops nothing on the fixture — pair
     results identical with and without it (VERDICT r1 item 5)."""
