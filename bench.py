@@ -178,6 +178,10 @@ def main() -> None:
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
             queries[name] = round(time.time() - t0, 3)
+            # queries that persist intermediates (LSH signatures, IVF
+            # prep) must not donate cache to — or steal memory from —
+            # later queries: each timing is an independent cold run
+            spark.catalog.clearCache()
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -8,6 +8,7 @@ from s1tiling_spark.catalog import (  # noqa: F401
     relational,
     relational2,
     rollups,
+    router_queries,
     scalar_exprs,
     multimodal_queries,
     similarity_queries,

@@ -92,9 +92,12 @@ def jaccard_pairs(
     d(d-1)/2 join rows — one boilerplate sentence across a 10^12-doc
     corpus is a quadratic bomb without this; same intent as the
     reference's redundant-input pruning (S1FileManager.py:332-363)."""
+    # persist the exploded shingle relation: it feeds the df-filter,
+    # both self-join sides, and the size table — without the cache the
+    # shingling recomputes 4x (the minhash_lsh_pairs lesson, VERDICT r1)
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
-    )
+    ).persist()
     if max_df is not None:
         rare = (
             sh.groupBy("sh")
@@ -102,7 +105,7 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh", "left_semi")
+        sh = sh.join(rare, "sh", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
