@@ -64,6 +64,39 @@ def streaming_rollup_1h(
     )
 
 
+def streaming_token_hist_1h(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+    n_bins: int = 64,
+) -> DataFrame:
+    """Streaming 1h token-histogram sketch: explode tokens inside the
+    micro-batch, watermarked window aggregate on (window, source, bin).
+
+    State is bounded by windows-in-watermark × sources × bins — the
+    explode multiplies ROWS within a batch, not state keys, so a
+    10^12-token stream holds the same state as a 10^3-token one with
+    the same key cardinality (the skew-neutrality argument of
+    operators/rollup.py applied to streaming state)."""
+    from s1tiling_spark.operators.rollup import N_HIST_BINS, VOCAB
+
+    n_bins = n_bins or N_HIST_BINS
+    width = VOCAB // n_bins
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    tok = stream.select(
+        "event_ts", "source", F.explode("tokens").alias("token")
+    ).withColumn(
+        "bin",
+        F.least(F.col("token") / F.lit(width), F.lit(n_bins - 1)).cast("int"),
+    )
+    return (
+        tok.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "source", "bin")
+        .agg(F.count("*").alias("tok_cnt"))
+        .select(F.col("win.start").alias("bucket_start"), "source", "bin", "tok_cnt")
+    )
+
+
 def run_stream_into_store(
     spark: SparkSession,
     landing_dir: str,

@@ -48,3 +48,52 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     want = rollup_sequences(seq, "1h").toPandas()
     assert_frames_match(got, want)
+
+
+def test_stream_hist_matches_batch(spark, tmp_path):
+    """Streaming token-histogram (explode inside micro-batches, two
+    overlapping deliveries in complete output) converges to the batch
+    histogram exactly."""
+    from s1tiling_spark.operators.rollup import token_hist_long
+    from s1tiling_spark.streaming.rollup_stream import streaming_token_hist_1h
+
+    landing = str(tmp_path / "hist_landing")
+    out_dir = str(tmp_path / "hist_out")
+    ckpt = str(tmp_path / "hist_ckpt")
+    seq = synth_sequences(spark, 800).cache()
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+
+    def run_once():
+        q = (
+            streaming_token_hist_1h(spark, landing, watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # append mode only emits windows the WATERMARK has passed; the
+    # parquet sink forbids update mode, so a sentinel row far past the
+    # data span advances the watermark in a second delivery and flushes
+    # every real window (the cross-batch merge path is covered by
+    # test_stream_matches_batch; this pins the exploded-histogram
+    # aggregation semantics)
+    seq.filter(part < 6).write.mode("append").parquet(landing)
+    seq.filter(part >= 6).write.mode("append").parquet(landing)
+    run_once()
+    sentinel = spark.createDataFrame(
+        [("flush", [0], 1, "zz-flush", None)],
+        "doc_id string, tokens array<int>, n_tok int, source string, event_ts timestamp",
+    ).withColumn(
+        "event_ts", F.lit("2099-01-01 00:00:00").cast("timestamp")
+    )
+    sentinel.write.mode("append").parquet(landing)
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    got = got.filter(F.col("source") != "zz-flush").toPandas()
+    want = token_hist_long(seq, "1h").toPandas()
+    assert_frames_match(got, want)
