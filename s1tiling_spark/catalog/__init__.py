@@ -11,6 +11,7 @@ from s1tiling_spark.catalog import (  # noqa: F401
     router_queries,
     scalar_exprs,
     multimodal_queries,
+    pipeline_ops,
     similarity_queries,
     textstats_queries,
     timeseries_extras,

@@ -1,0 +1,191 @@
+"""Training-data pipeline operations a corpus owner runs daily:
+text cleaning (markup strip, PII masking), deterministic dataset
+splits, stratified sampling, JSON property extraction, and event
+sessionization. All JVM column algebra, all oracle-gated.
+
+These extend the dedup/similarity/quality families with the
+transform-side of a data pipeline — the reference's analog is the
+filename/metadata surgery every product goes through before
+processing (`/root/reference/s1tiling/libs/otbwrappers/s1_to_s2.py:
+140-242` metadata hoisting; `Utils.py:559-614` regex surgery).
+
+Determinism: splits/samples key off md5-derived integers (never
+`rand()`), so assignment is reproducible at any parallelism and
+identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.dedup import MD5_LONG_SQL, md5_long
+from s1tiling_spark.registry import register
+from s1tiling_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- clean
+# Markup strip + whitespace collapse: the canonical first pass of an
+# LLM-data cleaner. Regex semantics are identical in Spark and DuckDB
+# (both RE2-ish for these constructs).
+@register(
+    "clean_markup",
+    oracle=(
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS clean_text "
+        "FROM documents"
+    ),
+)
+def clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    stripped = F.regexp_replace(F.col("text"), r"<[^>]*>", " ")
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("clean_text"),
+    )
+
+
+# PII masking: emails → [EMAIL], long digit runs → [NUM]. The masked
+# text plus a per-doc hit count (the audit trail a compliance pass
+# needs).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUM_RE = r"\d{6,}"
+
+
+@register(
+    "mask_pii",
+    oracle=(
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{_NUM_RE}', '[NUM]', 'g') AS masked, "
+        f"len(regexp_extract_all(text, '{_EMAIL_RE}')) "
+        f"+ len(regexp_extract_all(text, '{_NUM_RE}')) AS n_hits "
+        "FROM documents"
+    ),
+)
+def mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _NUM_RE, "[NUM]"
+    )
+    n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)) + F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_NUM_RE), 0)
+    )
+    return docs.select("doc_id", masked.alias("masked"), n_hits.alias("n_hits"))
+
+
+# ---------------------------------------------------------------- split
+# Deterministic train/val/test assignment: md5(doc_id) % 100 → 90/5/5.
+# Hash-based (never rand()) so the split is stable across runs, engines
+# and parallelism — the property that makes dataset versioning
+# reproducible. Reports per-(source, split) counts.
+@register(
+    "dataset_split_stats",
+    oracle=(
+        "WITH a AS (SELECT source, "
+        f"{MD5_LONG_SQL.format(expr='CAST(doc_id AS VARCHAR)')} % 100 AS b "
+        "FROM documents) "
+        "SELECT source, CASE WHEN b < 90 THEN 'train' "
+        "WHEN b < 95 THEN 'val' ELSE 'test' END AS split, "
+        "count(*) AS n FROM a GROUP BY 1, 2"
+    ),
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    b = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise(F.lit("test"))
+    )
+    return docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").alias("n"))
+
+
+# Stratified deterministic sampling: ~10% per source via a hash
+# threshold (each source keeps its own uniform slice — the sampling a
+# quality-eval pass uses). Exactly reproducible; no rand().
+_SAMPLE_HASH = MD5_LONG_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || source")
+
+
+@register(
+    "stratified_sample",
+    oracle=(
+        "SELECT doc_id, source FROM documents "
+        f"WHERE {_SAMPLE_HASH} % 10 = 0"
+    ),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    return docs.filter(F.pmod(h, F.lit(10)) == 0).select("doc_id", "source")
+
+
+# ------------------------------------------------------------- events
+# JSON property extraction (`props` is a JSON string column): pull a
+# typed field out and aggregate — the semi-structured hop every event
+# pipeline makes.
+@register(
+    "json_props_extract",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
+        "count(*) AS n FROM events GROUP BY 1"
+    ),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+# Sessionization: 30-minute-inactivity sessions per user (the classic
+# gaps-and-islands on event streams; same algebra as the reference's
+# acquisition grouping by time proximity, `otbpipeline.py:418-452`).
+_GAP_S = 1800
+
+
+@register(
+    "sessionize_events",
+    oracle=(
+        # gap compare in exact integer MICROSECONDS (epoch_us ==
+        # Spark's unix_micros; a seconds-based compare would truncate
+        # on one engine and round on the other)
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "  CASE WHEN epoch_us(ts) "
+        "   - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+        f"   > {_GAP_S} * 1000000 OR "
+        "   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "  THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, ts, "
+        "  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM o) "
+        "SELECT user_id, CAST(session_no AS INT) AS session_no, "
+        "min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events "
+        "FROM s GROUP BY 1, 2"
+    ),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The
+    # ntz→ltz cast shifts both sides of the difference by the same
+    # session-tz offset, so the GAP is tz-invariant.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    new_s = F.when(
+        prev.isNull() | ((_us(F.col("ts")) - _us(prev)) > _GAP_S * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "session_no", F.sum("new_s").over(ws).cast("int")
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
