@@ -136,17 +136,10 @@ def main() -> None:
     # flagship cascade (interleaved A/B, 600k rows): 91-213 s at 32
     # concurrent tasks vs 21 s at 8. Override with SPARK_GRAFT_TASK_CPUS;
     # on a real cluster leave it at 1 and size executors instead.
-    extra_conf = {}
-    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or (
-        str(cpus // 8) if cpus > 8 else None
-    )
-    if task_cpus and int(task_cpus) > 1:
-        extra_conf["spark.task.cpus"] = task_cpus
-    spark = build_session(
-        master=f"local[{cpus}]",
-        app_name="s1tiling-spark-bench",
-        extra_conf=extra_conf,
-    )
+    if "SPARK_GRAFT_TASK_CPUS" not in os.environ and cpus > 8:
+        # single owner for the knob is build_session's env read
+        os.environ["SPARK_GRAFT_TASK_CPUS"] = str(cpus // 8)
+    spark = build_session(master=f"local[{cpus}]", app_name="s1tiling-spark-bench")
 
     queries: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "compute":

@@ -36,8 +36,12 @@ _END = "2024-02-09 17:00:00"
 )
 def tier_routed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = sequences_from_documents(spark, sf_dir)
-    t1h = rollup_sequences(seq, "1h")
-    t1d = rollup_from_lower(t1h, "1d")
+    # persist the fine tiers: the 3-way union would otherwise re-derive
+    # the raw scan + 1h aggregate once per tier slice (in production
+    # the tiers are materialized tables, so the cache stands in for the
+    # store read)
+    t1h = rollup_sequences(seq, "1h").persist()
+    t1d = rollup_from_lower(t1h, "1d").persist()
     t30d = rollup_from_lower(t1d, "30d")
     return routed_range_totals(
         t1h,

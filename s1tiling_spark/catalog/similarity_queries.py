@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s1tiling_spark.operators.similarity import (
-    N_PLANES,
     QUANT,
     ann_lsh_topk,
     cosine_topk,
@@ -82,39 +81,17 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _proj_sql(alias: str, plane: int) -> str:
-    """DuckDB mirror of srp_weight/_proj: Σ qv[i] * (((i0*31 + plane*17)
-    % 7) - 3), i0 the 0-based dimension (DuckDB lambdas are 1-based)."""
+    """DuckDB mirror of srp_weight/_proj: Σ qv[i] * ((((i0*31 +
+    plane*17) % 101) % 7) - 3), i0 the 0-based dimension (DuckDB
+    lambdas are 1-based). The inner mod 101 keeps all planes distinct
+    (see operators/similarity.srp_weight)."""
     return (
-        f"list_sum(list_transform({alias}, (x, i) -> x * (((i-1)*31 + {plane * 17}) % 7 - 3)))"
+        f"list_sum(list_transform({alias}, (x, i) -> x * (((i-1)*31 + {plane * 17}) % 101 % 7 - 3)))"
     )
 
 
-def _bucket_sql(alias: str) -> str:
-    parts = []
-    for j in range(N_PLANES):
-        parts.append(f"(CASE WHEN {_proj_sql(alias, j)} > 0 THEN {1 << j} ELSE 0 END)")
-    return "CAST(" + " + ".join(parts) + " AS INT)"
-
-
-_LSH_ORACLE = f"""
-WITH {_PREP},
-bucketed AS (SELECT vec_id, qv, nrm, {_bucket_sql('qv')} AS bucket FROM prepn),
-qs AS (SELECT vec_id AS q_id, qv, nrm, bucket FROM bucketed
-       WHERE vec_id % {_QUERY_MOD} = 0),
-scored AS (
-  SELECT a.q_id, b.vec_id,
-         {_DOT_AB} / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
-  FROM qs a JOIN bucketed b ON b.bucket = a.bucket AND b.vec_id <> a.q_id
-)
-SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
-  FROM scored) WHERE rk <= {_K}
-"""
-
-
-@register("ann_lsh_topk", oracle=_LSH_ORACLE)
-def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh_topk(load_table(spark, "embeddings", sf_dir), k=_K, query_mod=_QUERY_MOD)
+_ANN_BANDS = 4
+_ANN_R = 4
 
 
 # --- IVF ANN: coarse cells + nprobe probing + exact re-rank.
@@ -189,6 +166,44 @@ def _banded_sql(source_rel: str, bands: int, r: int) -> str:
         for b in range(bands)
     )
     return f"banded AS ({rows})"
+
+
+# --- banded-SRP ANN top-k: oracle mirrors the band candidate
+# generation exactly (any band match → candidate, then exact re-rank)
+_ANN_LSH_ORACLE = f"""
+WITH {_PREP},
+{_banded_sql('prepn', _ANN_BANDS, _ANN_R)},
+qb AS (SELECT vec_id AS q_id, band, key FROM banded
+       WHERE vec_id % {_QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT q.q_id, b.vec_id
+  FROM banded b JOIN qb q ON b.band = q.band AND b.key = q.key
+  WHERE b.vec_id <> q.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+    CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+         i -> a.qv[i]*b.qv[i])) AS BIGINT)
+      / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+  FROM cand c
+  JOIN prepn a ON a.vec_id = c.q_id
+  JOIN prepn b ON b.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= {_K}
+"""
+
+
+@register("ann_lsh_topk", oracle=_ANN_LSH_ORACLE)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(
+        load_table(spark, "embeddings", sf_dir),
+        k=_K,
+        query_mod=_QUERY_MOD,
+        bands=_ANN_BANDS,
+        r=_ANN_R,
+    )
 
 
 def _cos_select(tau: float) -> str:

@@ -92,12 +92,15 @@ def jaccard_pairs(
     d(d-1)/2 join rows — one boilerplate sentence across a 10^12-doc
     corpus is a quadratic bomb without this; same intent as the
     reference's redundant-input pruning (S1FileManager.py:332-363)."""
-    # persist the exploded shingle relation: it feeds the df-filter,
-    # both self-join sides, and the size table — without the cache the
-    # shingling recomputes 4x (the minhash_lsh_pairs lesson, VERDICT r1)
+    # persist the (filtered) shingle relation ONCE: it feeds the size
+    # table and both self-join sides — without the cache the shingling
+    # recomputes per consumer (the minhash_lsh_pairs lesson, VERDICT
+    # r1). Only one relation is pinned; callers running many dedup
+    # queries in one session should clearCache between them (bench.py
+    # does).
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
-    ).persist()
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("sh")
@@ -105,7 +108,8 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh", "left_semi").persist()
+        sh = sh.join(rare, "sh", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -153,17 +153,15 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
             allb64 = allb.astype(np.int64)
             safe_len = np.maximum(lengths, 1)
-            # segment sums (reduceat needs non-empty input + in-range
-            # offsets; synth payloads are >=256 B, guard anyway)
-            if offsets[-1]:
-                starts = np.minimum(offsets[:-1], offsets[-1] - 1)
-                sums = np.add.reduceat(allb64, starts)
-                sq = np.add.reduceat(allb64 * allb64, starts)
-                sums[lengths == 0] = 0
-                sq[lengths == 0] = 0
-            else:
-                sums = np.zeros(n_rows, dtype=np.int64)
-                sq = np.zeros(n_rows, dtype=np.int64)
+            # segment sums via prefix-sum differences — exact for ANY
+            # segment layout including zero-length rows (reduceat with
+            # clipped offsets silently splits the neighboring segment)
+            csum = np.zeros(offsets[-1] + 1, dtype=np.int64)
+            np.cumsum(allb64, out=csum[1:])
+            csum2 = np.zeros(offsets[-1] + 1, dtype=np.int64)
+            np.cumsum(allb64 * allb64, out=csum2[1:])
+            sums = csum[offsets[1:]] - csum[offsets[:-1]]
+            sq = csum2[offsets[1:]] - csum2[offsets[:-1]]
             mean = sums / safe_len
             var = np.maximum(sq / safe_len - mean * mean, 0.0)
             std = np.sqrt(var)
@@ -173,12 +171,16 @@ def extract_features(media: DataFrame) -> DataFrame:
                 row_codes * N_BYTE_BINS + (allb >> 4),
                 minlength=n_rows * N_BYTE_BINS,
             ).reshape(n_rows, N_BYTE_BINS).astype(np.int64)
-            # stride thumbnails: (rows, RESIZE_LEN) gather, zero-padded
-            # for payloads shorter than RESIZE_LEN
-            pos = (np.arange(RESIZE_LEN, dtype=np.int64)[None, :] * lengths[:, None]) // RESIZE_LEN
-            idx = offsets[:-1, None] + np.minimum(pos, safe_len[:, None] - 1)
+            # thumbnails: stride-resample when n >= RESIZE_LEN, else the
+            # raw prefix zero-padded (the documented short-payload
+            # semantics: thumb[i] = arr[i]/255 for i < n)
+            i_grid = np.arange(RESIZE_LEN, dtype=np.int64)[None, :]
+            stride_pos = (i_grid * lengths[:, None]) // RESIZE_LEN
+            prefix_pos = np.minimum(i_grid, safe_len[:, None] - 1)
+            pos = np.where(lengths[:, None] >= RESIZE_LEN, stride_pos, prefix_pos)
+            idx = offsets[:-1, None] + pos
             thumb = allb64[np.minimum(idx, max(offsets[-1] - 1, 0))] / 255.0
-            inb = np.arange(RESIZE_LEN)[None, :] < lengths[:, None]
+            inb = (i_grid < lengths[:, None]) | (lengths[:, None] >= RESIZE_LEN)
             thumb = np.where(inb, thumb, 0.0)
             # video frame checksums: every 4th FRAME_SIZE-byte frame,
             # via prefix-sum differences
@@ -186,8 +188,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             n_ck = (n_frames + 3) // 4
             total_ck = int(n_ck.sum())
             if total_ck:
-                csum = np.zeros(offsets[-1] + 1, dtype=np.int64)
-                np.cumsum(allb64, out=csum[1:])
+                # csum already built for the segment sums above
                 ck_row = np.repeat(np.arange(n_rows), n_ck)
                 ck_excl = np.concatenate(([0], np.cumsum(n_ck)[:-1]))
                 within = np.arange(total_ck) - np.repeat(ck_excl, n_ck)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 QUANT = 10_000
 N_PLANES = 16
+MAX_BLOCKED_ROWS = 100_000  # driver-collect ceiling for the exact baseline
 
 
 def quantized(vec: Column) -> Column:
@@ -264,7 +265,17 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     import pandas as pd
 
     prep = _prepared(emb)
-    rows = prep.collect()  # exact-baseline path: corpus fits the driver
+    # exact-baseline path: the corpus must fit the driver. NOTE the
+    # collect is EAGER (runs at DataFrame-construction time — plan-only
+    # consumers pay it too); the cap turns a silent driver OOM at scale
+    # into an actionable error.
+    rows = prep.limit(MAX_BLOCKED_ROWS + 1).collect()
+    if len(rows) > MAX_BLOCKED_ROWS:
+        raise ValueError(
+            f"near_dup_pairs_blocked is the exact small-scale baseline "
+            f"(<= {MAX_BLOCKED_ROWS} vectors); use near_dup_pairs_lsh "
+            "for large corpora"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["qv"] for r in rows], dtype=np.int64)
     nrms = np.array([r["nrm"] for r in rows], dtype=np.int64)
@@ -313,21 +324,15 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
 
 def srp_weight(d: Column, j: int) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-3, 3]:
-    w(d, j) = ((d*31 + j*17) % 7) - 3, with d the 0-based dimension."""
-    return (d * 31 + F.lit(j * 17)) % 7 - 3
+    w(d, j) = (((d*31 + j*17) % 101) % 7) - 3, d the 0-based dimension.
 
-
-def srp_bucket(qv: Column) -> Column:
-    """16-bit signed-random-projection bucket id."""
-    bucket = F.lit(0)
-    for j in range(N_PLANES):
-        proj = F.aggregate(
-            F.transform(qv, lambda x, i: x * srp_weight(i, j)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    The inner mod by the prime 101 is load-bearing: a single mod-7
+    formula makes every plane a function of (linear combo mod 7), which
+    collapses the whole family to at most 7 distinct hyperplanes —
+    planes j and j+7 were IDENTICAL (review finding, round 2). Reducing
+    mod 101 first gives the j-term period 101, so all 32 planes used by
+    the banded schemes are distinct."""
+    return (d * 31 + F.lit(j * 17)) % 101 % 7 - 3
 
 
 def ivf_topk(
@@ -404,27 +409,54 @@ def ivf_topk(
     )
 
 
-def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
-    """ANN: candidates share the SRP bucket; exact re-rank within the
-    bucket (same integer-cosine ordering as brute force)."""
-    prep = _prepared(emb).withColumn("bucket", srp_bucket(F.col("qv")))
-    qs = prep.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    bands: int = 4,
+    r: int = 4,
+) -> DataFrame:
+    """ANN: banded-SRP candidates (any of `bands` r-plane band keys
+    matching makes a vector a candidate for that query) + exact
+    integer-cosine re-rank.
+
+    Banding trades recall for pruning like MinHash bands: one monolithic
+    16-bit bucket (2^16 keys) is so selective that most queries find an
+    EMPTY bucket; 4 bands of 4 bits (16 keys each) give every query a
+    candidate pool while still pruning ~(1 - (15/16)^4) of the corpus
+    per band structure. Candidates carry only ids through the join;
+    vectors re-attach afterwards."""
+    prep = _prepared(emb).persist()
+    banded = prep.select(
+        "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    qb = banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("q_id"), "band", "key"
     )
-    cand = prep.join(
-        F.broadcast(qs),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
     )
-    scored = cand.select(
-        "q_id",
-        "vec_id",
-        (
-            int_dot(F.col("q_qv"), F.col("qv"))
-            / F.sqrt((F.col("q_nrm") * F.col("nrm")).cast("double"))
-        ).alias("cos"),
+    scored = (
+        cand.join(
+            prep.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("qv").alias("q_qv"),
+                F.col("nrm").alias("q_nrm"),
+            ),
+            "q_id",
+        )
+        .join(prep, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                int_dot(F.col("q_qv"), F.col("qv"))
+                / F.sqrt((F.col("q_nrm") * F.col("nrm")).cast("double"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -27,28 +27,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from s1tiling_spark.operators.dedup import MD5_LONG_SQL, md5_long
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
 def _cms_col(token: Column, depth: int, width: int) -> Column:
-    """Column index of `token` in hash row `depth` (md5-derived)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"cms{depth}:"), token.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    """Column index of `token` in hash row `depth` — the repo-standard
+    md5-derived integer (dedup.md5_long) folded to the row width."""
+    h = md5_long(F.concat(F.lit(f"cms{depth}:"), token.cast("string")))
     return F.pmod(h, F.lit(width)).cast("int")
 
 
 def cms_sql_col(token_expr: str, depth: int, width: int) -> str:
-    """DuckDB mirror of :func:`_cms_col`."""
-    return (
-        f"CAST(CAST(('0x' || substr(md5('cms{depth}:' || CAST({token_expr} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % {width} AS INT)"
-    )
+    """DuckDB mirror of :func:`_cms_col` (same MD5_LONG_SQL formula as
+    every other oracle hash — one hash discipline, one place)."""
+    h = MD5_LONG_SQL.format(expr=f"'cms{depth}:' || CAST({token_expr} AS VARCHAR)")
+    return f"CAST({h} % {width} AS INT)"
 
 
 def cms_long(

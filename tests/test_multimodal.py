@@ -67,3 +67,51 @@ def test_media_stats(spark):
     # exact byte totals match the metadata (decode never altered sizes)
     meta_total = media.agg(F.sum(F.col("meta.n_bytes"))).collect()[0][0]
     assert sum(r["total_bytes"] for r in stats) == meta_total
+
+
+def test_feature_kernel_exact_values_all_outputs(spark):
+    """Exact per-row verification of EVERY kernel output — byte_std,
+    thumb values, and frame_checksum values included (the vectorized
+    rewrite's riskiest paths), over hand-built payloads covering the
+    edges: empty payload, payload shorter than RESIZE_LEN, zero-length
+    row LAST in the batch (the reduceat-clipping regression case), and
+    a video row."""
+    rows = [
+        ("p-short", "image", bytes(range(10))),
+        ("p-video", "video", bytes([i % 251 for i in range(5 * FRAME_SIZE + 37)])),
+        ("p-exact64", "audio", bytes([200] * RESIZE_LEN)),
+        ("p-long", "image", bytes([i % 256 for i in range(999)])),
+        ("p-empty", "audio", b""),  # zero-length LAST in batch
+    ]
+    df = spark.createDataFrame(
+        [(m, k, p) for m, k, p in rows], "media_id string, kind string, payload binary"
+    ).coalesce(1)
+    got = {r["media_id"]: r for r in extract_features(df).collect()}
+    for media_id, kind, payload in rows:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n = len(arr)
+        f = got[media_id]
+        assert f["n_bytes"] == n
+        if n:
+            assert abs(f["byte_mean"] - arr.mean()) < 1e-9
+            assert abs(f["byte_std"] - arr.std()) < 1e-9
+        else:
+            assert f["byte_mean"] == 0.0 and f["byte_std"] == 0.0
+        assert list(f["byte_hist"]) == list(
+            np.bincount(arr >> 4, minlength=N_BYTE_BINS)
+        )
+        # thumb: stride resample if n >= RESIZE_LEN else prefix + pad
+        if n >= RESIZE_LEN:
+            idx = (np.arange(RESIZE_LEN) * n) // RESIZE_LEN
+            want_thumb = arr[idx] / 255.0
+        else:
+            want_thumb = np.pad(arr / 255.0, (0, RESIZE_LEN - n))
+        assert np.allclose(f["thumb"], want_thumb, atol=1e-12)
+        if kind == "video":
+            n_frames = n // FRAME_SIZE
+            frames = arr[: n_frames * FRAME_SIZE].reshape(n_frames, FRAME_SIZE)
+            want_ck = frames[::4].sum(axis=1, dtype=np.int64)
+            assert f["n_frames"] == n_frames
+            assert list(f["frame_checksums"]) == list(want_ck)
+        else:
+            assert f["n_frames"] == 0 and list(f["frame_checksums"]) == []

@@ -44,7 +44,10 @@ def test_plan_uses_all_three_tiers():
     spans = sorted(plan.spans_1h + plan.spans_1d + plan.spans_30d)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi == b_lo, "gap or overlap between tier spans"
-    assert spans[0][0] == int(_START.replace(tzinfo=None).timestamp()) or True
+    from s1tiling_spark.plans.router import _epoch
+
+    assert spans[0][0] == _epoch(_START)
+    assert spans[-1][1] == _epoch(_END)
     total = sum(hi - lo for lo, hi in spans)
     assert total == int((_END - _START).total_seconds())
 
