@@ -139,7 +139,13 @@ def main() -> None:
     if "SPARK_GRAFT_TASK_CPUS" not in os.environ and cpus > 8:
         # single owner for the knob is build_session's env read
         os.environ["SPARK_GRAFT_TASK_CPUS"] = str(cpus // 8)
-    spark = build_session(master=f"local[{cpus}]", app_name="s1tiling-spark-bench")
+    # no console progress bars: stdout must stay clean so the final
+    # JSON line lands inside the driver's bounded tail capture
+    spark = build_session(
+        master=f"local[{cpus}]",
+        app_name="s1tiling-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     queries: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "compute":
@@ -161,10 +167,13 @@ def main() -> None:
     # The host has bursty CPU steal (PERF.md §6: up to 3x run-to-run on
     # identical jobs). The flagship is run twice and the best kept —
     # both samples are reported — so the headline reflects the engine,
-    # not the noisiest minute. Catalog queries stay single-run.
+    # not the noisiest minute. Catalog queries stay single-run unless
+    # they cross the heavy-tail threshold (then best-of-2, DISCLOSED in
+    # the retried/samples fields).
     runs = [run_tier_cascade(spark) for _ in range(2)]
     cascade = min(runs, key=lambda r: r["sec"])
     queries["tier_cascade"] = round(cascade["sec"], 3)
+    samples: dict[str, list[float]] = {"tier_cascade": [round(r["sec"], 3) for r in runs]}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cascade":
         for name, fn in e.queries().items():
@@ -180,14 +189,16 @@ def main() -> None:
                 # to the heavy tail: a single sample > 5 s has decent
                 # odds of being a host-steal artifact (measured 10-20x
                 # inflation windows, PERF.md §6); a cheap query's
-                # timing noise doesn't matter
+                # timing noise doesn't matter. Both samples recorded.
                 t1 = time.time()
                 materialize(fn(spark, SF_DIR))
-                t = min(t, time.time() - t1)
+                t2 = time.time() - t1
+                samples[name] = [round(t, 3), round(t2, 3)]
+                t = min(t, t2)
                 spark.catalog.clearCache()
-            queries[name] = round(t, 3)
+            queries[name] = round(t, 2)
 
-    total = round(sum(queries.values()), 3)
+    total = round(sum(queries.values()), 2)
     out = {
         "metric": "headline query wall time (tier cascade @ "
         f"{cascade['input_rows']} rows + catalog queries @ sf dir)",
@@ -198,12 +209,28 @@ def main() -> None:
         "cpus": cpus,
         "bench_rows": BENCH_ROWS,
         "points_per_sec": round(cascade["points_per_sec"], 1),
-        "cascade_input_rows": cascade["input_rows"],
         "cascade_output_rows": cascade["output_rows"],
-        "cascade_runs_sec": [round(r["sec"], 3) for r in runs],
+        "retried": sorted(n for n in samples if n != "tier_cascade"),
     }
+    # full detail (all best-of-2 samples, config) — the compact stdout
+    # line must fit the driver's 2000-char tail window (BENCH_r02's
+    # "parsed": null was this line overflowing it)
+    detail = dict(out)
+    detail["samples"] = samples
+    detail["cascade_input_rows"] = cascade["input_rows"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # degrade gracefully: keep the 12 slowest queries inline, point
+        # at BENCH_DETAIL.json for the rest
+        slow = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:12])
+        out["queries"] = slow
+        out["queries_detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

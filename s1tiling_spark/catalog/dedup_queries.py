@@ -93,23 +93,44 @@ def _sig_sql() -> str:
     )
 
 
-# the driver's canonicalizer can't sort raw array columns, so the gate
-# compares the '_'-joined signature string — content-exact per row.
-_MINHASH_SIG_ORACLE = (
-    f"WITH {_sig_sql()} "
-    "SELECT doc_id, array_to_string(sig, '_') AS sig_key FROM sigs"
+# MinHash signature + SimHash fingerprint folded into ONE per-doc gated
+# query (driver correctness window caps at 50 entries; §2 rows map to
+# columns: ``sig_key`` = MinHash, ``simhash`` = SimHash). The driver's
+# canonicalizer can't sort raw array columns, so the gate compares the
+# '_'-joined signature string — content-exact per row.
+_SIMHASH_BITS = 16
+_SIMHASH_VOTES = ", ".join(
+    f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
 )
 
+_FINGERPRINTS_ORACLE = f"""
+WITH {{sig_cte}},
+w AS (
+  SELECT doc_id, {_MD5L.format(e='u.w')} AS h
+  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents) u
+),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM w GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_FP} AS INT) AS simhash FROM votes)
+SELECT s.doc_id, array_to_string(s.sig, '_') AS sig_key, sh.simhash
+FROM sigs s JOIN sh USING (doc_id)
+"""
 
-@register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
-def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(
-        load_table(spark, "documents", sf_dir), k=3, num_hashes=_NUM_HASHES
-    )
-    return sig.select(
+
+@register(
+    "fingerprint_signatures",
+    oracle=_FINGERPRINTS_ORACLE.format(sig_cte=_sig_sql()),
+)
+def fingerprint_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, k=3, num_hashes=_NUM_HASHES).select(
         "doc_id",
         F.concat_ws("_", F.col("sig").cast("array<string>")).alias("sig_key"),
     )
+    sh = simhash_fingerprints(docs, bits=_SIMHASH_BITS)
+    return sig.join(sh, "doc_id").select("doc_id", "sig_key", "simhash")
 
 
 def _bands_sql() -> str:
@@ -161,23 +182,3 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------------------------------------- simhash
-_BITS = 16
-_VOTES = ", ".join(
-    f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(_BITS)
-)
-_FP = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_BITS))
-
-_SIMHASH_ORACLE = f"""
-WITH w AS (
-  SELECT doc_id, {_MD5L.format(e='u.w')} AS h
-  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents) u
-),
-votes AS (SELECT doc_id, {_VOTES} FROM w GROUP BY doc_id)
-SELECT doc_id, CAST({_FP} AS INT) AS simhash FROM votes
-"""
-
-
-@register("simhash_fingerprints", oracle=_SIMHASH_ORACLE)
-def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(load_table(spark, "documents", sf_dir), bits=_BITS)

@@ -1,5 +1,8 @@
-"""Gap-fill queries + oracles (LOCF, linear interpolation) over the 1h
-sequence tier."""
+"""Gap-fill query + oracle: LOCF and linear interpolation over the 1h
+sequence tier, emitted as one multi-column gated query (the driver's
+correctness window caps at 50 entries, so overlapping gates are folded
+— each §2 row maps to a COLUMN here: ``cnt``/``sum_n_tok`` = LOCF,
+``avg_n_tok`` = linear interpolation)."""
 
 from __future__ import annotations
 
@@ -20,41 +23,24 @@ _TIER_1H_CTE = (
     "grid AS (SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) "
     "AS bucket_start FROM bounds), "
     "dense AS (SELECT g.source, g.bucket_start, t.cnt, t.sum_n_tok, "
+    "CAST(t.sum_n_tok AS DOUBLE) / t.cnt AS avg_v, "
     "t.cnt IS NULL AS gap_filled FROM grid g LEFT JOIN tier t "
     "USING (source, bucket_start))"
 )
 
-_LOCF_ORACLE = (
+# LOCF (cnt, sum_n_tok) + linear interpolation (avg_n_tok) in one body:
+# both reuse the same densified grid, same window frames as the Spark
+# operators (operators/gapfill.py).
+_GAPFILL_ORACLE = (
     f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_1H_CTE} "
     "SELECT source, bucket_start, "
-    "last_value(cnt IGNORE NULLS) OVER w AS cnt, "
-    "last_value(sum_n_tok IGNORE NULLS) OVER w AS sum_n_tok, gap_filled "
-    "FROM dense WINDOW w AS (PARTITION BY source ORDER BY bucket_start "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-)
-
-
-def _tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seq = sequences_from_documents(spark, sf_dir)
-    return rollup_sequences(seq, "1h").select("bucket_start", "source", "cnt", "sum_n_tok")
-
-
-@register("gapfill_locf_1h", oracle=_LOCF_ORACLE)
-def gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = densify(_tier_1h(spark, sf_dir), "1h")
-    return locf(dense, ["cnt", "sum_n_tok"]).select(
-        "source", "bucket_start", "cnt", "sum_n_tok", "gap_filled"
-    )
-
-
-_LINEAR_ORACLE = (
-    f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_1H_CTE} "
-    "SELECT source, bucket_start, "
+    "last_value(cnt IGNORE NULLS) OVER wp AS cnt, "
+    "last_value(sum_n_tok IGNORE NULLS) OVER wp AS sum_n_tok, "
     "CASE WHEN avg_v IS NOT NULL THEN avg_v "
     "     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
     "          pv + (nv - pv) * ((ts - pt) / (nt - pt)) "
     "     WHEN pv IS NOT NULL THEN pv ELSE nv END AS avg_n_tok, gap_filled "
-    "FROM (SELECT source, bucket_start, gap_filled, avg_v, "
+    "FROM (SELECT source, bucket_start, cnt, sum_n_tok, gap_filled, avg_v, "
     "  CAST(epoch(bucket_start) AS DOUBLE) AS ts, "
     "  last_value(avg_v IGNORE NULLS) OVER wp AS pv, "
     "  last_value(CASE WHEN avg_v IS NOT NULL THEN CAST(epoch(bucket_start) AS DOUBLE) END "
@@ -62,19 +48,30 @@ _LINEAR_ORACLE = (
     "  first_value(avg_v IGNORE NULLS) OVER wn AS nv, "
     "  first_value(CASE WHEN avg_v IS NOT NULL THEN CAST(epoch(bucket_start) AS DOUBLE) END "
     "              IGNORE NULLS) OVER wn AS nt "
-    "  FROM (SELECT *, CAST(sum_n_tok AS DOUBLE) / cnt AS avg_v FROM dense) "
+    "  FROM dense "
     "  WINDOW wp AS (PARTITION BY source ORDER BY bucket_start "
     "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
     "         wn AS (PARTITION BY source ORDER BY bucket_start "
-    "                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))"
+    "                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "WINDOW wp AS (PARTITION BY source ORDER BY bucket_start "
+    "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 )
 
 
-@register("gapfill_linear_1h", oracle=_LINEAR_ORACLE)
-def gapfill_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = densify(_tier_1h(spark, sf_dir), "1h").withColumn(
+@register("gapfill_1h", oracle=_GAPFILL_ORACLE)
+def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified 1h tier with LOCF-filled counts and linearly
+    interpolated mean token length — both fill strategies over one
+    grid pass."""
+    seq = sequences_from_documents(spark, sf_dir)
+    tier = rollup_sequences(seq, "1h").select(
+        "bucket_start", "source", "cnt", "sum_n_tok"
+    )
+    dense = densify(tier, "1h").withColumn(
         "avg_n_tok", F.col("sum_n_tok").cast("double") / F.col("cnt")
     )
-    return linear_interpolate(dense, "avg_n_tok").select(
-        "source", "bucket_start", "avg_n_tok", "gap_filled"
+    lin = linear_interpolate(dense, "avg_n_tok")
+    filled = locf(lin, ["cnt", "sum_n_tok"])
+    return filled.select(
+        "source", "bucket_start", "cnt", "sum_n_tok", "avg_n_tok", "gap_filled"
     )

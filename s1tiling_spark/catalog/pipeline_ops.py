@@ -1,7 +1,8 @@
 """Training-data pipeline operations a corpus owner runs daily:
-text cleaning (markup strip, PII masking), deterministic dataset
-splits, stratified sampling, JSON property extraction, and event
-sessionization. All JVM column algebra, all oracle-gated.
+text cleaning (markup strip + PII masking, one gated query),
+deterministic dataset splits + stratified sampling (one gated query),
+semi-structured property extraction (regex + JSON, one gated query),
+and event sessionization. All JVM column algebra, all oracle-gated.
 
 These extend the dedup/similarity/quality families with the
 transform-side of a data pipeline — the reference's analog is the
@@ -24,38 +25,21 @@ from s1tiling_spark.registry import register
 from s1tiling_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- clean
-# Markup strip + whitespace collapse: the canonical first pass of an
-# LLM-data cleaner. Regex semantics are identical in Spark and DuckDB
-# (both RE2-ish for these constructs).
-@register(
-    "clean_markup",
-    oracle=(
-        "SELECT doc_id, "
-        "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), "
-        "'\\s+', ' ', 'g')) AS clean_text "
-        "FROM documents"
-    ),
-)
-def clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    stripped = F.regexp_replace(F.col("text"), r"<[^>]*>", " ")
-    return docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("clean_text"),
-    )
-
-
-# PII masking: emails → [EMAIL], long digit runs → [NUM]. The masked
-# text plus a per-doc hit count (the audit trail a compliance pass
-# needs).
+# Markup strip + whitespace collapse (the canonical first pass of an
+# LLM-data cleaner) + PII masking (emails → [EMAIL], long digit runs →
+# [NUM]) with a per-doc hit count — one multi-column gated query
+# (driver correctness window caps at 50 entries). Regex semantics are
+# identical in Spark and DuckDB for these constructs.
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _NUM_RE = r"\d{6,}"
 
 
 @register(
-    "mask_pii",
+    "text_transforms",
     oracle=(
         "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS clean_text, "
         f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), "
         f"'{_NUM_RE}', '[NUM]', 'g') AS masked, "
         f"len(regexp_extract_all(text, '{_EMAIL_RE}')) "
@@ -63,80 +47,87 @@ _NUM_RE = r"\d{6,}"
         "FROM documents"
     ),
 )
-def mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    stripped = F.regexp_replace(F.col("text"), r"<[^>]*>", " ")
     masked = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _NUM_RE, "[NUM]"
     )
     n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)) + F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_NUM_RE), 0)
     )
-    return docs.select("doc_id", masked.alias("masked"), n_hits.alias("n_hits"))
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("clean_text"),
+        masked.alias("masked"),
+        n_hits.alias("n_hits"),
+    )
 
 
 # ---------------------------------------------------------------- split
-# Deterministic train/val/test assignment: md5(doc_id) % 100 → 90/5/5.
-# Hash-based (never rand()) so the split is stable across runs, engines
-# and parallelism — the property that makes dataset versioning
-# reproducible. Reports per-(source, split) counts.
+# Deterministic train/val/test assignment (md5(doc_id) % 100 → 90/5/5)
+# + stratified ~10%-per-source sampling (hash threshold on
+# md5(doc_id:source)), reported as per-(source, split) counts with the
+# sampled subset counted alongside — hash-based (never rand()) so both
+# are stable across runs, engines and parallelism: the property that
+# makes dataset versioning reproducible.
+_SPLIT_HASH = MD5_LONG_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+_SAMPLE_HASH = MD5_LONG_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || source")
+
+
 @register(
-    "dataset_split_stats",
+    "split_sample_stats",
     oracle=(
         "WITH a AS (SELECT source, "
-        f"{MD5_LONG_SQL.format(expr='CAST(doc_id AS VARCHAR)')} % 100 AS b "
+        f"{_SPLIT_HASH} % 100 AS b, "
+        f"CASE WHEN {_SAMPLE_HASH} % 10 = 0 THEN 1 ELSE 0 END AS sampled "
         "FROM documents) "
         "SELECT source, CASE WHEN b < 90 THEN 'train' "
         "WHEN b < 95 THEN 'val' ELSE 'test' END AS split, "
-        "count(*) AS n FROM a GROUP BY 1, 2"
+        "count(*) AS n, "
+        "CAST(sum(sampled) AS BIGINT) AS n_sampled FROM a GROUP BY 1, 2"
     ),
 )
-def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     b = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
     split = (
         F.when(b < 90, "train").when(b < 95, "val").otherwise(F.lit("test"))
     )
-    return docs.select("source", split.alias("split")).groupBy(
-        "source", "split"
-    ).agg(F.count("*").alias("n"))
-
-
-# Stratified deterministic sampling: ~10% per source via a hash
-# threshold (each source keeps its own uniform slice — the sampling a
-# quality-eval pass uses). Exactly reproducible; no rand().
-_SAMPLE_HASH = MD5_LONG_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || source")
-
-
-@register(
-    "stratified_sample",
-    oracle=(
-        "SELECT doc_id, source FROM documents "
-        f"WHERE {_SAMPLE_HASH} % 10 = 0"
-    ),
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
-    return docs.filter(F.pmod(h, F.lit(10)) == 0).select("doc_id", "source")
+    sample_h = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    sampled = F.when(F.pmod(sample_h, F.lit(10)) == 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select("source", split.alias("split"), sampled.alias("sampled"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sampled").cast("long").alias("n_sampled"),
+        )
+    )
 
 
 # ------------------------------------------------------------- events
-# JSON property extraction (`props` is a JSON string column): pull a
-# typed field out and aggregate — the semi-structured hop every event
-# pipeline makes.
+# Semi-structured property extraction — regex surgery
+# (`Utils.py:559-614`) + JSON field extraction, row-level over events
+# with a props payload: the two hops every event pipeline makes, one
+# gated query.
 @register(
-    "json_props_extract",
+    "props_extract",
     oracle=(
-        "SELECT event_type, "
-        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
-        "count(*) AS n FROM events GROUP BY 1"
+        "SELECT event_id, "
+        "CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k_regex, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_json "
+        "FROM events WHERE props IS NOT NULL"
     ),
 )
-def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
+    return ev.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k_regex"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
     )
 
 

@@ -2,6 +2,11 @@
 tables — each entry cites the reference operator it re-expresses and
 carries an exact DuckDB oracle.
 
+Same-family gates are folded into multi-column / tagged-union queries
+(the driver's correctness window caps at 50 entries): see
+``filter_union_slices`` (date filter + category filter + unionByName)
+and ``census_aggs`` (NoData census + distinct agg).
+
 Float discipline: money-like aggregations use the *integer-cents*
 pattern — ``sum(cast(round(x*100) as bigint)) / 100.0`` — in BOTH
 engines. Integer sums are associative (exactly reproducible across
@@ -20,41 +25,37 @@ from s1tiling_spark.registry import register
 from s1tiling_spark.sources.tables import load_table
 
 
-# ---------------------------------------------------------------- §2.2
-# Date-range filter — `is_product_in_time_range`
-# /root/reference/s1tiling/libs/S1FileManager.py:1341-1353
+# ---------------------------------------------------------------- §2.2/§2.7
+# Date-range filter (`is_product_in_time_range`,
+# /root/reference/s1tiling/libs/S1FileManager.py:1341-1353) + orbit/
+# platform category filter (`_keep_requested_orbits` S1FileManager.py:
+# 366-398) + union-by-concatenation (S1FileManager.py:796, 812-816):
+# two pushdown-filtered slices of the events table stacked with
+# unionByName under a slice tag. Both predicates reach the parquet scan
+# (partition/row-group pruning at scale — the analog of the reference's
+# date pushdown to the catalog search, S1FileManager.py:782-794).
 @register(
-    "date_range_filter",
+    "filter_union_slices",
     oracle=(
-        "SELECT event_id, ts, event_type, value FROM events "
-        "WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' "
-        "AND TIMESTAMP '2024-01-14 23:59:59'"
-    ),
-)
-def date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate reaches the parquet scan (partition/row-group pruning at
-    scale — the analog of the reference's date pushdown to the catalog
-    search, S1FileManager.py:782-794)."""
-    ev = load_table(spark, "events", sf_dir)
-    return ev.filter(
-        F.col("ts").between("2024-01-08 00:00:00", "2024-01-14 23:59:59")
-    ).select("event_id", "ts", "event_type", "value")
-
-
-# Orbit/platform filter — `_keep_requested_orbits` S1FileManager.py:366-398,
-# `_keep_requested_platforms` S1FileManager.py:401-424
-@register(
-    "category_filter",
-    oracle=(
-        "SELECT event_id, user_id, event_type FROM events "
+        "SELECT 'date' AS slice, event_id, user_id, ts, event_type, value "
+        "FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' "
+        "AND TIMESTAMP '2024-01-14 23:59:59' "
+        "UNION ALL "
+        "SELECT 'cat' AS slice, event_id, user_id, ts, event_type, value "
+        "FROM events "
         "WHERE event_type IN ('click', 'view') AND user_id % 4 = 1"
     ),
 )
-def category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.filter(
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    a = ev.filter(
+        F.col("ts").between("2024-01-08 00:00:00", "2024-01-14 23:59:59")
+    ).select(F.lit("date").alias("slice"), *cols)
+    b = ev.filter(
         F.col("event_type").isin("click", "view") & (F.col("user_id") % 4 == 1)
-    ).select("event_id", "user_id", "event_type")
+    ).select(F.lit("cat").alias("slice"), *cols)
+    return a.unionByName(b)
 
 
 # Redundant-product dedup — `_discard_small_redundant`
@@ -272,22 +273,26 @@ def mosaic_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NoData census — `has_too_many_NoData` s1_to_s2.py:81-91
+# NoData census (`has_too_many_NoData` s1_to_s2.py:81-91) + exact
+# count-distinct per group (absent in the reference — SURVEY §2.4
+# note), folded into one per-event_type aggregate row.
 @register(
-    "nodata_census",
+    "census_aggs",
     oracle=(
         "SELECT event_type, "
         "CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata, "
-        "count(*) AS n_total FROM events GROUP BY event_type"
+        "count(*) AS n_total, "
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
     ),
 )
-def nodata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def census_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
         F.sum(F.when(F.col("value") < 10, 1).otherwise(0))
         .cast("long")
         .alias("n_nodata"),
         F.count("*").alias("n_total"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 
@@ -305,23 +310,6 @@ def topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(500).select(
         "event_id", "ts", "user_id"
     )
-
-
-# ---------------------------------------------------------------- §2.7
-# Union by concatenation — S1FileManager.py:796, 812-816, 1264
-@register(
-    "union_slices",
-    oracle=(
-        "SELECT event_id, event_type FROM events WHERE event_type = 'click' "
-        "UNION ALL "
-        "SELECT event_id, event_type FROM events WHERE event_type = 'error'"
-    ),
-)
-def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
-    b = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
-    return a.unionByName(b)
 
 
 # ---------------------------------------------------------------- §2.8
@@ -347,20 +335,4 @@ def denoise_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_discount") == 0, F.lit(1e-7))
         .otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("denoised"),
-    )
-
-
-# Filename/metadata regex extract — Utils.py:559-614
-@register(
-    "regex_extract_meta",
-    oracle=(
-        "SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k "
-        "FROM events WHERE props IS NOT NULL"
-    ),
-)
-def regex_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.filter(F.col("props").isNotNull()).select(
-        "event_id",
-        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k"),
     )

@@ -1,5 +1,6 @@
 """Second batch of SURVEY §2 mappings: failed-pair blacklisting,
-range join, as-of join, distinct aggregation."""
+interval-coverage join (the reference's spatial coverage semantics in
+1-D), as-of join."""
 
 from __future__ import annotations
 
@@ -34,42 +35,96 @@ def pair_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Spatial theta-join analog — `get_s1_intersect_by_tile`
-# S1FileManager.py:1355-1388: polygon∩polygon nested loop → here a true
-# RANGE (non-equi) join: events against a small interval dimension,
-# broadcast nested-loop on ts BETWEEN lo AND hi.
+# Spatial coverage join — `get_s1_intersect_by_tile` +
+# `_filter_images_or_pairs_providing_enough_cover_by_pair`
+# (S1FileManager.py:1355-1388, 291-329; coverage arithmetic
+# Utils.py:382-407): the reference computes polygon-intersection
+# COVERAGE PER PAIR and keeps pairs above a threshold — not mere
+# membership. 1-D analog: each event spawns a duration segment
+# [ts, ts + (1 + user_id%6) hours]; segments theta-join a small
+# broadcast interval dimension, the overlap FRACTION of each segment is
+# computed in exact integer seconds, pairs below 50% coverage are
+# dropped (the per-pair HAVING), and surviving pairs aggregate to
+# per-interval stats. Aggregation sums INTEGER seconds (associative →
+# deterministic at any parallelism); the single final division produces
+# the mean coverage.
+_COV_TAU = 0.5  # keep pairs covering >= 50% of the segment
+
+
 @register(
-    "range_join",
+    "coverage_join",
     oracle=(
+        # all bounds in exact integer MICROSECONDS (epoch_us == Spark's
+        # unix_micros; epoch() seconds would ROUND fractional seconds in
+        # DuckDB while Spark's unix_timestamp truncates)
         "WITH intervals AS ("
         "  SELECT CAST(r_regionkey AS BIGINT) AS iv_id, "
-        "  TIMESTAMP '2024-01-01' + CAST(r_regionkey*60 AS BIGINT) * INTERVAL 1 HOUR AS lo, "
-        "  TIMESTAMP '2024-01-01' + CAST((r_regionkey*60 + 59) AS BIGINT) * INTERVAL 1 HOUR AS hi "
-        "  FROM region) "
-        "SELECT iv_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users "
-        "FROM events JOIN intervals ON ts >= lo AND ts <= hi "
-        "GROUP BY iv_id"
+        "  epoch_us(TIMESTAMP '2024-01-01') "
+        "    + CAST(r_regionkey AS BIGINT)*60*3600*1000000 AS lo_s, "
+        "  epoch_us(TIMESTAMP '2024-01-01') "
+        "    + (CAST(r_regionkey AS BIGINT)*60 + 59)*3600*1000000 AS hi_s "
+        "  FROM region), "
+        "segs AS (SELECT event_id, user_id, "
+        "  epoch_us(ts) AS s_lo, "
+        "  epoch_us(ts) + CAST(1 + user_id % 6 AS BIGINT) * 3600 * 1000000 AS s_hi "
+        "  FROM events), "
+        "pairs AS ("
+        "  SELECT iv_id, event_id, "
+        "    least(hi_s, s_hi) - greatest(lo_s, s_lo) AS overlap_s, "
+        "    s_hi - s_lo AS seg_s "
+        "  FROM segs JOIN intervals "
+        "    ON s_lo <= hi_s AND s_hi >= lo_s), "
+        "cov AS (SELECT iv_id, event_id, overlap_s, seg_s "
+        f"  FROM pairs WHERE overlap_s > 0 AND overlap_s >= {_COV_TAU} * seg_s) "
+        "SELECT iv_id, count(*) AS n_cov, "
+        "CAST(sum(overlap_s) AS BIGINT) AS sum_overlap_s, "
+        "CAST(sum(seg_s) AS BIGINT) AS sum_seg_s, "
+        "CAST(sum(overlap_s) AS BIGINT) / CAST(CAST(sum(seg_s) AS BIGINT) AS DOUBLE) "
+        "AS mean_cov FROM cov GROUP BY iv_id"
     ),
 )
-def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     region = load_table(spark, "region", sf_dir)
-    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    base_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     intervals = region.select(
         F.col("r_regionkey").cast("long").alias("iv_id"),
-        F.timestamp_add("HOUR", (F.col("r_regionkey") * 60).cast("int"), base).alias("lo"),
-        F.timestamp_add("HOUR", (F.col("r_regionkey") * 60 + 59).cast("int"), base).alias("hi"),
+        (base_us + F.col("r_regionkey").cast("long") * 60 * 3600 * 1_000_000).alias(
+            "lo_s"
+        ),
+        (
+            base_us
+            + (F.col("r_regionkey").cast("long") * 60 + 59) * 3600 * 1_000_000
+        ).alias("hi_s"),
     )
-    return (
-        ev.join(
-            F.broadcast(intervals),
-            (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")),
-        )
-        .groupBy("iv_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
+    segs = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_lo"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (1 + F.col("user_id") % 6).cast("long") * 3600 * 1_000_000
+        ).alias("s_hi"),
+    )
+    pairs = segs.join(
+        F.broadcast(intervals),
+        (F.col("s_lo") <= F.col("hi_s")) & (F.col("s_hi") >= F.col("lo_s")),
+    ).select(
+        "iv_id",
+        "event_id",
+        (F.least("hi_s", "s_hi") - F.greatest("lo_s", "s_lo")).alias("overlap_s"),
+        (F.col("s_hi") - F.col("s_lo")).alias("seg_s"),
+    )
+    cov = pairs.filter(
+        (F.col("overlap_s") > 0)
+        & (F.col("overlap_s") >= F.lit(_COV_TAU) * F.col("seg_s"))
+    )
+    return cov.groupBy("iv_id").agg(
+        F.count("*").alias("n_cov"),
+        F.sum("overlap_s").alias("sum_overlap_s"),
+        F.sum("seg_s").alias("sum_seg_s"),
+        (
+            F.sum("overlap_s") / F.sum("seg_s").cast("double")
+        ).alias("mean_cov"),
     )
 
 
@@ -105,21 +160,4 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clicked.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "ts", "asof_click_ts"
-    )
-
-
-# Distinct aggregation (absent in the reference — SURVEY §2.4 note):
-# exact count-distinct per group.
-@register(
-    "distinct_agg",
-    oracle=(
-        "SELECT event_type, count(DISTINCT user_id) AS n_users, "
-        "count(*) AS n_events FROM events GROUP BY event_type"
-    ),
-)
-def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
     )

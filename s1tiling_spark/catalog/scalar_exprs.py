@@ -4,6 +4,12 @@ superimpose with nodata guard, IPF version compare, discrete-derivative
 windows (surface-normal analog), and the ground+satellite XYZ
 derived-feature kernel.
 
+``tier_derived_cols`` folds three same-grain gates into one query
+(driver correctness window caps at 50 entries): border mask
+(``mask``/``masked_cnt``), DEM+geoid superimpose (``h``/``h_total``)
+and the derivative window (``slope``/``grad``) — each §2 row maps to
+its column pair.
+
 Float determinism: every derived feature uses only +,-,*,/ and sqrt —
 all IEEE-754 correctly-rounded, so Spark and DuckDB produce
 bit-identical doubles (no libm trig, whose last-ulp behaviour is
@@ -84,76 +90,79 @@ def nodata_nan_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Border-mask binarization (`BorderMask` BandMath `im1b1==0?0:1` +
-# threshold, `/root/reference/s1tiling/libs/otbwrappers/s1_to_s2.py:
-# 966-1023`): threshold the tier value into a 0/1 mask and apply it.
+# Tier derived columns — three same-grain scalar kernels over the 1h
+# tier, one row per (bucket_start, source):
+#
+# 1. Border-mask binarization (`BorderMask` BandMath `im1b1==0?0:1` +
+#    threshold, `/root/reference/s1tiling/libs/otbwrappers/s1_to_s2.py:
+#    966-1023`): threshold the tier value into a 0/1 mask and apply it
+#    → ``mask``, ``masked_cnt``.
+# 2. DEM + geoid superimpose with nodata guard (`SumAllHeights`
+#    BandMath `im1b1==nodata ? nodata : im1b1+im2b1`,
+#    `/root/reference/s1tiling/libs/otbwrappers/dem.py`): broadcast-join
+#    a small per-source offset dim; nodata rows pass through unchanged
+#    → ``h``, ``h_total``.
+# 3. Discrete-derivative window — the surface-normals analog
+#    (`ComputeNormals`/ExtractNormalVector, `lia.py:609-687`): backward
+#    slope (lag) and centered gradient (lead - lag) per hour, exact
+#    integer diffs divided once → ``slope``, ``grad``.
 @register(
-    "border_mask",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE} "
-        "SELECT bucket_start, source, cnt, "
-        "CASE WHEN cnt >= 5 THEN 1 ELSE 0 END AS mask, "
-        "cnt * (CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS masked_cnt "
-        "FROM tier"
-    ),
-)
-def border_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tier = _tier_1h(spark, sf_dir)
-    mask = F.when(F.col("cnt") >= 5, F.lit(1)).otherwise(F.lit(0))
-    return tier.select(
-        "bucket_start",
-        "source",
-        "cnt",
-        mask.alias("mask"),
-        (F.col("cnt") * mask).alias("masked_cnt"),
-    )
-
-
-# ---------------------------------------------------------------------
-# DEM + geoid superimpose with nodata guard (`SumAllHeights` BandMath
-# `im1b1==nodata ? nodata : im1b1+im2b1`,
-# `/root/reference/s1tiling/libs/otbwrappers/dem.py` sum_all_heights):
-# broadcast-join a small per-source offset dim; nodata rows pass
-# through unchanged.
-@register(
-    "dem_geoid_sum",
+    "tier_derived_cols",
     oracle=(
         f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE}, "
-        "v AS (SELECT bucket_start, source, "
-        f"CASE WHEN cnt % 5 = 0 THEN {_NODATA} ELSE CAST(cnt AS DOUBLE) END AS h "
-        "FROM tier), "
         "geoid AS (SELECT source, "
-        "CAST(length(source) * 7 AS DOUBLE) AS offset "
-        "FROM (SELECT DISTINCT source FROM tier)) "
-        "SELECT v.bucket_start, v.source, v.h, "
-        f"CASE WHEN v.h IS NOT DISTINCT FROM {_NODATA} THEN {_NODATA} "
-        "ELSE v.h + g.offset END AS h_total "
-        "FROM v JOIN geoid g ON v.source = g.source"
+        "CAST(length(source) * 7 AS DOUBLE) AS goff "
+        "FROM (SELECT DISTINCT source FROM tier)), "
+        "v AS (SELECT bucket_start, t.source, cnt, "
+        "CASE WHEN cnt >= 5 THEN 1 ELSE 0 END AS mask, "
+        f"CASE WHEN cnt % 5 = 0 THEN {_NODATA} ELSE CAST(cnt AS DOUBLE) END AS h, "
+        "g.goff FROM tier t JOIN geoid g ON t.source = g.source) "
+        "SELECT bucket_start, source, cnt, mask, cnt * mask AS masked_cnt, h, "
+        f"CASE WHEN h IS NOT DISTINCT FROM {_NODATA} THEN {_NODATA} "
+        "ELSE h + goff END AS h_total, "
+        "CAST((cnt - lag(cnt) OVER w) * 3600.0 "
+        "  / (CAST(epoch(bucket_start) AS BIGINT) "
+        "     - CAST(epoch(lag(bucket_start) OVER w) AS BIGINT)) AS DOUBLE) AS slope, "
+        "CAST((lead(cnt) OVER w - lag(cnt) OVER w) * 3600.0 "
+        "  / (CAST(epoch(lead(bucket_start) OVER w) AS BIGINT) "
+        "     - CAST(epoch(lag(bucket_start) OVER w) AS BIGINT)) AS DOUBLE) AS grad "
+        "FROM v WINDOW w AS (PARTITION BY source ORDER BY bucket_start)"
     ),
 )
-def dem_geoid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tier_derived_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier = _tier_1h(spark, sf_dir)
-    v = tier.select(
-        "bucket_start",
-        "source",
-        F.when(F.col("cnt") % 5 == 0, F.lit(_NODATA))
-        .otherwise(F.col("cnt").cast("double"))
-        .alias("h"),
-    )
     geoid = (
         tier.select("source")
         .distinct()
         .select("source", (F.length("source") * 7).cast("double").alias("offset"))
     )
-    out = v.join(F.broadcast(geoid), "source").select(
+    mask = F.when(F.col("cnt") >= 5, F.lit(1)).otherwise(F.lit(0))
+    h = (
+        F.when(F.col("cnt") % 5 == 0, F.lit(_NODATA))
+        .otherwise(F.col("cnt").cast("double"))
+    )
+    v = tier.join(F.broadcast(geoid), "source").select(
+        "bucket_start", "source", "cnt", mask.alias("mask"), h.alias("h"), "offset"
+    )
+    w = Window.partitionBy("source").orderBy("bucket_start")
+    ts = F.unix_timestamp("bucket_start")
+    lag_ts = F.unix_timestamp(F.lag("bucket_start").over(w))
+    lead_ts = F.unix_timestamp(F.lead("bucket_start").over(w))
+    slope = (F.col("cnt") - F.lag("cnt").over(w)) * 3600.0 / (ts - lag_ts)
+    grad = (F.lead("cnt").over(w) - F.lag("cnt").over(w)) * 3600.0 / (lead_ts - lag_ts)
+    return v.select(
         "bucket_start",
         "source",
+        "cnt",
+        "mask",
+        (F.col("cnt") * F.col("mask")).alias("masked_cnt"),
         "h",
         F.when(F.col("h").eqNullSafe(F.lit(_NODATA)), F.lit(_NODATA))
         .otherwise(F.col("h") + F.col("offset"))
         .alias("h_total"),
+        slope.cast("double").alias("slope"),
+        grad.cast("double").alias("grad"),
     )
-    return out
 
 
 # ---------------------------------------------------------------------
@@ -232,46 +241,6 @@ def ipf_version_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.filter(
         (F.col("major") > 2) | ((F.col("major") == 2) & (F.col("minor") >= 90))
-    )
-
-
-# ---------------------------------------------------------------------
-# Discrete-derivative window — the surface-normals analog
-# (`ComputeNormals` / ExtractNormalVector,
-# `/root/reference/s1tiling/libs/otbwrappers/lia.py:609-687`): normals
-# are derivatives of the height field over the pixel neighborhood;
-# here the field is the 1h tier and the derivative is taken over the
-# time axis per source — backward slope (lag) and centered gradient
-# (lead - lag), both per-hour. Integer diffs divided once → exact
-# doubles both engines.
-@register(
-    "derivative_window",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE} "
-        "SELECT bucket_start, source, cnt, "
-        "CAST((cnt - lag(cnt) OVER w) * 3600.0 "
-        "  / (CAST(epoch(bucket_start) AS BIGINT) "
-        "     - CAST(epoch(lag(bucket_start) OVER w) AS BIGINT)) AS DOUBLE) AS slope, "
-        "CAST((lead(cnt) OVER w - lag(cnt) OVER w) * 3600.0 "
-        "  / (CAST(epoch(lead(bucket_start) OVER w) AS BIGINT) "
-        "     - CAST(epoch(lag(bucket_start) OVER w) AS BIGINT)) AS DOUBLE) AS grad "
-        "FROM tier WINDOW w AS (PARTITION BY source ORDER BY bucket_start)"
-    ),
-)
-def derivative_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tier = _tier_1h(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("bucket_start")
-    ts = F.unix_timestamp("bucket_start")
-    lag_ts = F.unix_timestamp(F.lag("bucket_start").over(w))
-    lead_ts = F.unix_timestamp(F.lead("bucket_start").over(w))
-    slope = (F.col("cnt") - F.lag("cnt").over(w)) * 3600.0 / (ts - lag_ts)
-    grad = (F.lead("cnt").over(w) - F.lag("cnt").over(w)) * 3600.0 / (lead_ts - lag_ts)
-    return tier.select(
-        "bucket_start",
-        "source",
-        "cnt",
-        slope.cast("double").alias("slope"),
-        grad.cast("double").alias("grad"),
     )
 
 

@@ -91,18 +91,30 @@ def _proj_sql(alias: str, plane: int) -> str:
 
 
 _ANN_BANDS = 4
-_ANN_R = 4
 
 
-# --- IVF ANN: coarse cells + nprobe probing + exact re-rank.
-# Oracle mirrors the deterministic codebook/assignment exactly.
-_IVF_CELLS = 16
+# --- IVF ANN: hash-stratified rank-based codebook with n_cells ≈ √N
+# (both derived IN-ENGINE: Spark computes them from the corpus count at
+# plan time, the oracle computes the identical values in SQL — nothing
+# is hardcoded to the fixture), nprobe probing, exact re-rank.
 _IVF_NPROBE = 2
 
 _IVF_ORACLE = f"""
 WITH {_PREP},
-cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM prepn
-          WHERE vec_id < {_IVF_CELLS}),
+params AS (SELECT greatest(4, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+           AS n_cells FROM embeddings),
+hashed AS (
+  SELECT vec_id, qv, nrm,
+    CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM prepn),
+rankedh AS (
+  SELECT vec_id, qv, nrm,
+    row_number() OVER (ORDER BY h, vec_id) AS rnk
+  FROM hashed),
+cents AS (
+  SELECT rnk AS cid, qv AS cqv, nrm AS cnrm
+  FROM rankedh, params p WHERE rnk <= p.n_cells),
 assign AS (
   SELECT p.vec_id, c.cid,
     CAST(list_sum(list_transform(range(1, len(p.qv)+1),
@@ -143,7 +155,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir),
         k=_K,
         query_mod=_QUERY_MOD,
-        n_cells=_IVF_CELLS,
+        n_cells=None,  # derived: max(4, isqrt(N))
         nprobe=_IVF_NPROBE,
     )
 
@@ -168,16 +180,42 @@ def _banded_sql(source_rel: str, bands: int, r: int) -> str:
     return f"banded AS ({rows})"
 
 
-# --- banded-SRP ANN top-k: oracle mirrors the band candidate
-# generation exactly (any band match → candidate, then exact re-rank)
+# --- banded-SRP ANN top-k: the band-key width r is DERIVED FROM THE
+# CORPUS SIZE in BOTH engines (Spark: derive_r(count) at plan time;
+# SQL: the identical integer bit-length formula over count(*)) and the
+# query side multiprobes every band key at Hamming distance 1 — the
+# scale-parameterized candidate generation, mirrored dynamically so
+# nothing is hardcoded to the sf0.01 fixture.
+from s1tiling_spark.operators.similarity import (  # noqa: E402
+    ANN_R_MAX,
+    ANN_R_MIN,
+    ANN_TARGET_BUCKET,
+)
+
 _ANN_LSH_ORACLE = f"""
 WITH {_PREP},
-{_banded_sql('prepn', _ANN_BANDS, _ANN_R)},
-qb AS (SELECT vec_id AS q_id, band, key FROM banded
-       WHERE vec_id % {_QUERY_MOD} = 0),
+params AS (SELECT greatest({ANN_R_MIN}, least({ANN_R_MAX},
+           length(bin((count(*) - 1) // {ANN_TARGET_BUCKET})))) AS r
+           FROM embeddings),
+bandix AS (SELECT unnest(range(0, {_ANN_BANDS})) AS band),
+banded AS (
+  SELECT vec_id, band,
+    CAST(list_sum(list_transform(range(0, p.r), j ->
+      CASE WHEN list_sum(list_transform(qv, (x, i) ->
+           x * (((i-1)*31 + (band * p.r + j) * 17) % 101 % 7 - 3))) > 0
+           THEN (1 << j) ELSE 0 END)) AS BIGINT) AS key
+  FROM prepn, params p, bandix
+),
+qprobe AS (
+  SELECT q_id, band, unnest(probes) AS key FROM (
+    SELECT vec_id AS q_id, band,
+      list_prepend(key, list_transform(range(0, p.r),
+        j -> xor(key, CAST(1 << j AS BIGINT)))) AS probes
+    FROM banded, params p WHERE vec_id % {_QUERY_MOD} = 0)
+),
 cand AS (
   SELECT DISTINCT q.q_id, b.vec_id
-  FROM banded b JOIN qb q ON b.band = q.band AND b.key = q.key
+  FROM banded b JOIN qprobe q ON b.band = q.band AND b.key = q.key
   WHERE b.vec_id <> q.q_id
 ),
 scored AS (
@@ -202,7 +240,8 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         query_mod=_QUERY_MOD,
         bands=_ANN_BANDS,
-        r=_ANN_R,
+        r=None,  # derived from the corpus count (derive_r)
+        multiprobe=1,
     )
 
 

@@ -66,29 +66,71 @@ def top_tokens_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Exact quantiles per (1d bucket, source): median + p90 of n_tok.
-# Spark `percentile` and DuckDB `quantile_cont` implement the same
-# linear interpolation — verified bit-identical (see module docstring).
-# At 100 TB exact per-group percentiles are fine when group cardinality
-# is bounded (buckets × sources); the streaming/approximate variant is
-# `percentile_approx`, deliberately NOT oracle-gated.
+# Quantiles per (1d bucket, source): exact median + p90 of n_tok
+# (Spark `percentile` == DuckDB `quantile_cont`, bit-identical linear
+# interpolation) PLUS a MERGEABLE quantile sketch — a fixed-width
+# bucket-count histogram (KLL-family idea reduced to its deterministic
+# core) built at the 1h tier and MERGED 1h→1d inside the gated query,
+# like the token histogram. Sketch estimate = smallest bucket upper
+# edge whose cumulative count reaches the integer rank ceil(p·N) —
+# error ≤ one bucket width (asserted vs exact in
+# tests/test_quantile_sketch.py, alongside a percentile_approx
+# error-bound check). Ranks use pure integer arithmetic
+# ((p_num·N + p_den − 1) // p_den), never p·N doubles, so the rank is
+# exact on both engines. At unbounded per-group cardinality the sketch
+# path (O(buckets) state, mergeable partials) is the production
+# choice; exact `percentile` holds while group cardinality is bounded.
+_QW = 8  # sketch bucket width (n_tok units)
+_QCAP = 127  # top bucket index (saturating)
+
+
 @register(
     "bucket_quantiles_1d",
     oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE} "
-        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "ex AS (SELECT date_trunc('day', event_ts) AS bucket_start, source, "
         "quantile_cont(n_tok, 0.5) AS p50_n_tok, "
-        "quantile_cont(n_tok, 0.9) AS p90_n_tok "
-        "FROM sequences GROUP BY 1, 2"
+        "quantile_cont(n_tok, 0.9) AS p90_n_tok, "
+        "count(*) AS n FROM sequences GROUP BY 1, 2), "
+        "sk AS (SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        f"CAST(least(n_tok // {_QW}, {_QCAP}) AS INT) AS qbin, "
+        "count(*) AS cnt FROM sequences GROUP BY 1, 2, 3), "
+        "cum AS (SELECT bucket_start, source, qbin, "
+        "sum(cnt) OVER (PARTITION BY bucket_start, source ORDER BY qbin) AS cum, "
+        "sum(cnt) OVER (PARTITION BY bucket_start, source) AS total FROM sk), "
+        "est AS (SELECT bucket_start, source, "
+        f"CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN (qbin + 1) * {_QW} END) AS INT) "
+        "AS p50_sketch, "
+        f"CAST(min(CASE WHEN cum >= (9 * total + 9) // 10 THEN (qbin + 1) * {_QW} END) AS INT) "
+        "AS p90_sketch FROM cum GROUP BY 1, 2) "
+        "SELECT e.bucket_start, e.source, e.p50_n_tok, e.p90_n_tok, "
+        "s.p50_sketch, s.p90_sketch "
+        "FROM ex e JOIN est s USING (bucket_start, source)"
     ),
 )
 def bucket_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.sketch import quantile_sketch_long, sketch_quantiles
+
     seq = sequences_from_documents(spark, sf_dir)
-    return seq.groupBy(
+    exact = seq.groupBy(
         F.date_trunc("day", "event_ts").alias("bucket_start"), "source"
     ).agg(
         F.percentile("n_tok", 0.5).alias("p50_n_tok"),
         F.percentile("n_tok", 0.9).alias("p90_n_tok"),
+    )
+    # sketch path: build at 1h, MERGE to 1d (bin-wise sum), estimate
+    sk1h = quantile_sketch_long(seq, "1h", width=_QW, cap=_QCAP)
+    sk1d = (
+        sk1h.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"),
+            "source",
+            "qbin",
+        ).agg(F.sum("cnt").alias("cnt"))
+    )
+    est = sketch_quantiles(sk1d, [(50, "p50_sketch"), (90, "p90_sketch")], width=_QW)
+    return exact.join(est, ["bucket_start", "source"]).select(
+        "bucket_start", "source", "p50_n_tok", "p90_n_tok",
+        "p50_sketch", "p90_sketch",
     )
 
 

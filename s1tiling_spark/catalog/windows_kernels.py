@@ -1,6 +1,12 @@
 """Window-frame kernel analogs of the reference's raster neighborhood
 operators (SURVEY §2.9), plus the SQL-API surface and the pass-through
-token invariant."""
+token invariant.
+
+The three despeckle/morphology kernels are folded into ONE gated
+multi-column query (driver correctness window caps at 50 entries):
+``smoothed`` = moving-average despeckle, ``lee`` = variance-weighted
+adaptive (Lee) despeckle, ``opened`` = morphological opening.
+"""
 
 from __future__ import annotations
 
@@ -20,75 +26,6 @@ _TIER_CTE = (
 def _tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_sequences(sequences_from_documents(spark, sf_dir), "1h").select(
         "bucket_start", "source", "cnt"
-    )
-
-
-# Despeckle (lee/frost smoothing, `SpatialDespeckle` s1_to_s2.py:1073-1178)
-# → moving average over neighboring buckets
-@register(
-    "smooth_despeckle",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE} "
-        "SELECT source, bucket_start, cnt, "
-        "CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w AS smoothed "
-        "FROM tier WINDOW w AS (PARTITION BY source ORDER BY bucket_start "
-        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
-    ),
-)
-def smooth_despeckle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("source").orderBy("bucket_start").rowsBetween(-2, 2)
-    )
-    tier = _tier_1h(spark, sf_dir)
-    return tier.select(
-        "source",
-        "bucket_start",
-        "cnt",
-        (F.sum("cnt").over(w).cast("double") / F.count("*").over(w)).alias("smoothed"),
-    )
-
-
-# Morphological opening (`SmoothBorderMask` ball 5x5, s1_to_s2.py:1026-1068)
-# → min-then-max over bucket neighborhoods (erosion then dilation)
-@register(
-    "morpho_open",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE}, "
-        "eroded AS (SELECT source, bucket_start, cnt, "
-        "  min(cnt) OVER (PARTITION BY source ORDER BY bucket_start "
-        "  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ero FROM tier) "
-        "SELECT source, bucket_start, cnt, "
-        "max(ero) OVER (PARTITION BY source ORDER BY bucket_start "
-        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS opened FROM eroded"
-    ),
-)
-def morpho_open(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("source").orderBy("bucket_start").rowsBetween(-1, 1)
-    tier = _tier_1h(spark, sf_dir)
-    eroded = tier.withColumn("ero", F.min("cnt").over(w))
-    return eroded.select(
-        "source", "bucket_start", "cnt", F.max("ero").over(w).alias("opened")
-    )
-
-
-# SQL API surface: same rollup expressed through spark.sql over a temp
-# view — proves the engine is reachable from pure SQL, the analog of the
-# reference's expression-string surface (BandMath, SURVEY §2.8).
-@register(
-    "sql_api_rollup",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE} "
-        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
-        "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
-        "FROM sequences GROUP BY 1, 2"
-    ),
-)
-def sql_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sequences_from_documents(spark, sf_dir).createOrReplaceTempView("sequences_v")
-    return spark.sql(
-        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
-        "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
-        "FROM sequences_v GROUP BY 1, 2"
     )
 
 
@@ -123,4 +60,96 @@ def passthrough_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok",
             "source",
         )
+    )
+
+
+# Despeckle family (`SpatialDespeckle` lee/frost/gammamap/kuan with
+# window radius, s1_to_s2.py:1073-1178) + morphological opening
+# (`SmoothBorderMask` ball 5x5, s1_to_s2.py:1026-1068), as window-frame
+# kernels over the 1h tier:
+#
+# - smoothed: plain ±2 moving average (boxcar despeckle);
+# - lee: the Lee adaptive filter x̂ = m + v/(v+σ²)·(x−m) with local
+#   window mean m and variance v and a fixed noise variance σ² — flat
+#   regions collapse to the mean, edges pass through (the family's
+#   defining behaviour). Pure +,-,*,/ on exact integer window sums →
+#   deterministic doubles on both engines.
+# - opened: min-then-max over ±1 neighborhoods (erosion then dilation).
+_NOISE_VAR = 4.0
+
+
+@register(
+    "window_kernels",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE}, {_TIER_CTE}, "
+        "s AS (SELECT source, bucket_start, cnt, "
+        "  CAST(sum(cnt) OVER w AS BIGINT) AS w_sum, "
+        "  CAST(sum(cnt*cnt) OVER w AS BIGINT) AS w_sq, "
+        "  count(*) OVER w AS w_n, "
+        "  min(cnt) OVER w1 AS ero "
+        "  FROM tier "
+        "  WINDOW w AS (PARTITION BY source ORDER BY bucket_start "
+        "               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), "
+        "         w1 AS (PARTITION BY source ORDER BY bucket_start "
+        "               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)), "
+        "m AS (SELECT source, bucket_start, cnt, "
+        "  CAST(w_sum AS DOUBLE) / w_n AS mean, "
+        "  greatest(CAST(w_sq AS DOUBLE) / w_n "
+        "    - (CAST(w_sum AS DOUBLE) / w_n) * (CAST(w_sum AS DOUBLE) / w_n), "
+        "    0.0) AS var, ero FROM s) "
+        "SELECT source, bucket_start, cnt, mean AS smoothed, "
+        f"mean + (var / (var + {_NOISE_VAR})) * (cnt - mean) AS lee, "
+        "max(ero) OVER (PARTITION BY source ORDER BY bucket_start "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS opened "
+        "FROM m"
+    ),
+)
+def window_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = _tier_1h(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("bucket_start").rowsBetween(-2, 2)
+    w1 = Window.partitionBy("source").orderBy("bucket_start").rowsBetween(-1, 1)
+    w_sum = F.sum("cnt").over(w)
+    w_sq = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    w_n = F.count("*").over(w)
+    mean = w_sum.cast("double") / w_n
+    var = F.greatest(
+        w_sq.cast("double") / w_n - mean * mean, F.lit(0.0)
+    )
+    lee = mean + (var / (var + F.lit(_NOISE_VAR))) * (F.col("cnt") - mean)
+    eroded = tier.select(
+        "source",
+        "bucket_start",
+        "cnt",
+        mean.alias("smoothed"),
+        lee.alias("lee"),
+        F.min("cnt").over(w1).alias("ero"),
+    )
+    return eroded.select(
+        "source",
+        "bucket_start",
+        "cnt",
+        "smoothed",
+        "lee",
+        F.max("ero").over(w1).alias("opened"),
+    )
+
+
+# SQL API surface: same rollup expressed through spark.sql over a temp
+# view — proves the engine is reachable from pure SQL, the analog of the
+# reference's expression-string surface (BandMath, SURVEY §2.8).
+@register(
+    "sql_api_rollup",
+    oracle=(
+        f"WITH {SEQUENCES_ORACLE_CTE} "
+        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+        "FROM sequences GROUP BY 1, 2"
+    ),
+)
+def sql_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sequences_from_documents(spark, sf_dir).createOrReplaceTempView("sequences_v")
+    return spark.sql(
+        "SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+        "FROM sequences_v GROUP BY 1, 2"
     )

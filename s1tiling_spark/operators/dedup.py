@@ -34,6 +34,26 @@ from pyspark.sql import functions as F
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 MINHASH_REDUCE = 1 << 20  # pre-mod so a*h + b stays < 2^40
 
+# cache hygiene: every persist() this module takes is tracked so
+# library callers running many queries in one session can release them
+# (mirrors operators/similarity.release_cached; bench.py's clearCache
+# also works)
+_TRACKED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    while _TRACKED:
+        try:
+            _TRACKED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def words_col(text: Column) -> Column:
     return F.split(text, " ")
@@ -109,7 +129,7 @@ def jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
-    sh = sh.persist()
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -186,7 +206,7 @@ def minhash_lsh_pairs(
       this cap or one bucket quadratically dominates the job.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes).persist()
+    sig = _persist(minhash_signatures(docs, k, num_hashes))
     banded = sig.select(
         "doc_id",
         F.explode(

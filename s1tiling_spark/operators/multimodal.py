@@ -179,7 +179,12 @@ def extract_features(media: DataFrame) -> DataFrame:
             prefix_pos = np.minimum(i_grid, safe_len[:, None] - 1)
             pos = np.where(lengths[:, None] >= RESIZE_LEN, stride_pos, prefix_pos)
             idx = offsets[:-1, None] + pos
-            thumb = allb64[np.minimum(idx, max(offsets[-1] - 1, 0))] / 255.0
+            # a batch of ALL-empty payloads leaves allb64 empty — gather
+            # from a 1-element zero array instead of indexing into
+            # nothing (unreachable for synth_media's >=256 B payloads,
+            # but real media inputs can be zero-length)
+            gather_src = allb64 if offsets[-1] else np.zeros(1, dtype=np.int64)
+            thumb = gather_src[np.minimum(idx, max(offsets[-1] - 1, 0))] / 255.0
             inb = (i_grid < lengths[:, None]) | (lengths[:, None] >= RESIZE_LEN)
             thumb = np.where(inb, thumb, 0.0)
             # video frame checksums: every 4th FRAME_SIZE-byte frame,

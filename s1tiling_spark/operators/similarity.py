@@ -1,5 +1,5 @@
 """Similarity search over the embedding column: brute-force cosine
-top-k (baseline) + SRP-LSH bucketed ANN (the scale path).
+top-k (baseline) + SRP-LSH bucketed ANN + IVF ANN (the scale paths).
 
 Determinism discipline: embeddings are float32; naive float dot
 products fold in engine-specific order. Instead vectors are quantized
@@ -12,18 +12,32 @@ hard" #1 applied to ANN).
 Scale shape:
 - brute force: queries × corpus — fine when queries are few (the
   broadcast side) even over a huge corpus; O(Q·N) work distributed by
-  corpus partitions, no shuffle beyond the final per-query top-k
-  (partial top-k per partition via window on shuffled (q_id) keys).
-- SRP-LSH: 16 deterministic hyperplane signs → one bucket id per
-  vector; candidates = bucket collisions. At 10^12 rows the bucket
-  join replaces the Q×N product entirely; recall tunes with plane
-  count/band structure like MinHash bands.
+  corpus partitions, no shuffle beyond the final per-query top-k.
+- SRP-LSH: banded sign-random-projection keys; candidates = band-key
+  equi-join collisions. The key width ``r`` is DERIVED FROM CORPUS
+  SIZE at plan time (``derive_r``: key space ≈ N / target bucket), so
+  expected bucket occupancy stays ~constant as N grows — at 10^9
+  vectors, r≈26 bits keeps candidate work per query at
+  bands·(1+r)·target_bucket ≈ thousands of exact re-ranks, not a
+  corpus fraction. Recall lost to narrow buckets is recovered with
+  MULTIPROBE: each query also probes every band key at Hamming
+  distance 1 (the r single-bit flips — the classic multi-probe LSH
+  move), which multiplies probes by (1+r) but leaves corpus-side state
+  untouched.
+- IVF: hash-stratified rank-based codebook (n_cells ≈ √N), nprobe
+  cell probing, exact in-cell re-rank.
 
-Everything is JVM column algebra (transform/zip_with/aggregate) — no
-Python UDF in the hot path.
+Everything in the hot path is JVM column algebra or Arrow-batched
+numpy — no per-row Python.
+
+Cache hygiene: every ``persist()`` this module takes is tracked;
+callers running many queries in one session can release them all with
+:func:`release_cached` (bench.py's ``clearCache()`` also works).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,6 +45,30 @@ from pyspark.sql import functions as F
 QUANT = 10_000
 N_PLANES = 16
 MAX_BLOCKED_ROWS = 100_000  # driver-collect ceiling for the exact baseline
+
+# LSH scale parameters: key space per band ≈ N / ANN_TARGET_BUCKET
+ANN_TARGET_BUCKET = 16
+ANN_R_MIN = 4
+ANN_R_MAX = 24
+
+# --------------------------------------------------------------- cache
+_TRACKED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every relation this module cached (library callers'
+    cleanup hook; idempotent)."""
+    while _TRACKED:
+        try:
+            _TRACKED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def quantized(vec: Column) -> Column:
@@ -122,6 +160,19 @@ def near_dup_pairs(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     return _cos_filter(pairs, tau)
 
 
+def srp_weight(d: Column, j: int) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-3, 3]:
+    w(d, j) = (((d*31 + j*17) % 101) % 7) - 3, d the 0-based dimension.
+
+    The inner mod by the prime 101 is load-bearing: a single mod-7
+    formula makes every plane a function of (linear combo mod 7), which
+    collapses the whole family to at most 7 distinct hyperplanes —
+    planes j and j+7 were IDENTICAL (review finding, round 2). Reducing
+    mod 101 first gives the j-term period 101, so all planes used by
+    the banded schemes (up to bands·r ≈ 100) are distinct."""
+    return (d * 31 + F.lit(j * 17)) % 101 % 7 - 3
+
+
 def srp_band_keys(qv: Column, bands: int, r: int) -> Column:
     """Array of `bands` structs (band, key): key packs the sign bits of
     ``r`` consecutive SRP hyperplanes. Two vectors are LSH candidates
@@ -145,11 +196,24 @@ def srp_band_keys(qv: Column, bands: int, r: int) -> Column:
                 sum(
                     (signs[b * r + j] * F.lit(1 << j) for j in range(1, r)),
                     signs[b * r],
-                ).alias("key"),
+                ).cast("long").alias("key"),
             )
             for b in range(bands)
         ]
     )
+
+
+def derive_r(
+    n: int,
+    target_bucket: int = ANN_TARGET_BUCKET,
+    r_min: int = ANN_R_MIN,
+    r_max: int = ANN_R_MAX,
+) -> int:
+    """Band-key width from corpus size: the smallest r with
+    2^r >= N / target_bucket (integer bit-length — no floats), clamped
+    to [r_min, r_max]. Keeps expected bucket occupancy ≈ target_bucket
+    at any N: N=500 → r=5; N=10^5 → r=13; N=10^9 → r=24 (capped)."""
+    return min(r_max, max(r_min, ((max(n, 1) - 1) // target_bucket).bit_length()))
 
 
 def near_dup_pairs_lsh(
@@ -172,7 +236,7 @@ def near_dup_pairs_lsh(
     the band self-join carries only (band, key, vec_id); vectors are
     re-attached to the deduped candidate pairs afterwards — the qv
     arrays never ride the candidate shuffle."""
-    prep = _prepared(emb).persist()
+    prep = _persist(_prepared(emb))
     banded = prep.select(
         "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -257,6 +321,13 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     instead of interpreted per-element lambda folds (measured 20-40×
     on 2k vectors).
 
+    NOTE the corpus collect is EAGER (runs at DataFrame-construction
+    time; the Spark API gives no hook to defer a driver-side collect
+    behind the returned plan's first action) — plan-only consumers pay
+    it too. The cap turns a silent driver OOM at scale into an
+    actionable error, and the single tracked broadcast is releasable
+    via :func:`release_cached`.
+
     Quantization happens in Spark (`_prepared`) on BOTH the broadcast
     side and the row side, so the integers — and therefore the results
     — are identical to the join formulation (numpy's round-half-even
@@ -265,10 +336,7 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     import pandas as pd
 
     prep = _prepared(emb)
-    # exact-baseline path: the corpus must fit the driver. NOTE the
-    # collect is EAGER (runs at DataFrame-construction time — plan-only
-    # consumers pay it too); the cap turns a silent driver OOM at scale
-    # into an actionable error.
+    # exact-baseline path: the corpus must fit the driver.
     rows = prep.limit(MAX_BLOCKED_ROWS + 1).collect()
     if len(rows) > MAX_BLOCKED_ROWS:
         raise ValueError(
@@ -280,11 +348,15 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     mat = np.array([r["qv"] for r in rows], dtype=np.int64)
     nrms = np.array([r["nrm"] for r in rows], dtype=np.int64)
     sc = emb.sparkSession.sparkContext
-    b_ids, b_mat, b_nrms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(nrms)
+    # ONE broadcast (ids/matrix/norms packed) instead of three, tracked
+    # for release — repeated calls no longer accumulate broadcast blocks
+    # (callers: release via release_cached / SparkContext GC).
+    b_corpus = sc.broadcast((ids, mat, nrms))
+    _BROADCASTS.append(b_corpus)
     t2 = tau * tau
 
     def kernel(batches):
-        all_ids, all_mat, all_nrms = b_ids.value, b_mat.value, b_nrms.value
+        all_ids, all_mat, all_nrms = b_corpus.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -322,33 +394,132 @@ def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
     return _cos_filter(pairs, tau)
 
 
-def srp_weight(d: Column, j: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-3, 3]:
-    w(d, j) = (((d*31 + j*17) % 101) % 7) - 3, d the 0-based dimension.
+_BROADCASTS: list = []
 
-    The inner mod by the prime 101 is load-bearing: a single mod-7
-    formula makes every plane a function of (linear combo mod 7), which
-    collapses the whole family to at most 7 distinct hyperplanes —
-    planes j and j+7 were IDENTICAL (review finding, round 2). Reducing
-    mod 101 first gives the j-term period 101, so all 32 planes used by
-    the banded schemes are distinct."""
-    return (d * 31 + F.lit(j * 17)) % 101 % 7 - 3
+
+def _release_broadcasts() -> None:
+    while _BROADCASTS:
+        try:
+            _BROADCASTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+# release broadcasts together with cached relations
+_release_cached_rel = release_cached
+
+
+def release_cached() -> None:  # noqa: F811 — deliberate wrap
+    """Unpersist every relation AND destroy every corpus broadcast this
+    module created (library callers' cleanup hook; idempotent)."""
+    _release_cached_rel()
+    _release_broadcasts()
+
+
+def _ivf_hash(vec_id: Column) -> Column:
+    """md5-derived stratification hash for codebook sampling (same
+    formula as dedup.md5_long; namespaced)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("ivf:"), vec_id.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def ivf_codebook(prep: DataFrame, n_cells: int) -> DataFrame:
+    """Hash-stratified rank-based codebook: the ``n_cells`` corpus
+    vectors with the smallest (md5(vec_id), vec_id) rank — a uniform
+    deterministic sample with NO dense-id assumption (works on sparse /
+    offset id spaces), selected distributively as a top-k
+    (TakeOrderedAndProject), never a global window sort. cid = rank
+    within the selected set (1-based)."""
+    sampled = (
+        prep.withColumn("_h", _ivf_hash(F.col("vec_id")))
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_h", "vec_id")  # n_cells rows — tiny
+    return sampled.withColumn("cid", F.row_number().over(w)).select(
+        "cid",
+        F.col("vec_id").alias("cvid"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+
+def kmeans_refine(prep: DataFrame, cents: DataFrame, iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd refinement of an integer codebook: assign
+    every vector to its argmax-cosine cell, recompute each cell's
+    centroid as the ROUNDED element-wise mean (integer sums are
+    associative → the refined codebook is identical at any
+    parallelism), repeat ``iters`` times. Empty cells keep their
+    previous centroid. Used by the recall tests; the oracle-gated query
+    uses the un-refined hash-stratified codebook (SQL-mirrorable)."""
+    for _ in range(iters):
+        assigned = _assign_cells(prep, cents).filter(F.col("crk") == 1).select(
+            "vec_id", "cid"
+        )
+        ex = (
+            prep.join(assigned, "vec_id")
+            .select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .withColumn("m", F.round(F.col("s") / F.col("n")).cast("long"))
+        )
+        new_qv = (
+            ex.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cid", F.transform(F.col("pm"), lambda x: x["m"]).alias("new_cqv")
+            )
+        )
+        cents = (
+            cents.join(new_qv, "cid", "left")
+            .select(
+                "cid",
+                "cvid",
+                # empty cells keep their previous centroid
+                F.coalesce(F.col("new_cqv"), F.col("cqv")).alias("cqv"),
+            )
+            .withColumn("cnrm", int_dot(F.col("cqv"), F.col("cqv")))
+        )
+    return cents
+
+
+def _assign_cells(prep: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine cell per vector: one O(N·C) broadcast map pass +
+    rank-1 window on the per-vector scored cells."""
+    scored = prep.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (
+            int_dot(F.col("qv"), F.col("cqv"))
+            / F.sqrt((F.col("nrm") * F.col("cnrm")).cast("double"))
+        ).alias("ccos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return scored.withColumn("crk", F.row_number().over(wc))
 
 
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
     query_mod: int = 50,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     probe the query's ``nprobe`` nearest cells, exact re-rank inside.
 
     The scale anatomy (classic IVF, e.g. Faiss's IndexIVFFlat):
-    - centroids: a small deterministic codebook (here: the first
-      ``n_cells`` vectors — a seeded k-means would slot in the same
-      place; determinism is what the oracle needs);
+    - codebook: ``n_cells ≈ √N`` hash-stratified rank-sampled vectors
+      (:func:`ivf_codebook`; optional deterministic k-means refinement
+      via ``refine_iters``) — n_cells GROWS with the corpus, so cell
+      population stays ≈ √N and probe work per query is
+      O(nprobe · √N);
     - assignment: broadcast the codebook, one argmax per vector — a
       single O(N·C) map pass, no shuffle beyond the argmax window;
     - search: candidates = equi-join on cell id, so work is
@@ -358,22 +529,14 @@ def ivf_topk(
     module; ties break on smaller id, so results are deterministic at
     any parallelism.
     """
-    prep = _prepared(emb).persist()
-    cents = prep.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    scored_cells = prep.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        (
-            int_dot(F.col("qv"), F.col("cqv"))
-            / F.sqrt((F.col("nrm") * F.col("cnrm")).cast("double"))
-        ).alias("ccos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    ranked = scored_cells.withColumn("crk", F.row_number().over(wc))
+    prep = _persist(_prepared(emb))
+    if n_cells is None:
+        n_cells = max(4, math.isqrt(prep.count()))
+    cents = ivf_codebook(prep, n_cells)
+    if refine_iters:
+        cents = kmeans_refine(prep, cents, iters=refine_iters)
+    cents = F.broadcast(cents.select("cid", "cqv", "cnrm"))
+    ranked = _assign_cells(prep, cents)
     cell = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
     qprobe = (
         ranked.filter(
@@ -382,6 +545,12 @@ def ivf_topk(
         ).select(F.col("vec_id").alias("q_id"), "cid")
     )
     cand = qprobe.join(cell, "cid").filter(F.col("vec_id") != F.col("q_id"))
+    return _rerank_topk(cand, prep, k)
+
+
+def _rerank_topk(cand: DataFrame, prep: DataFrame, k: int) -> DataFrame:
+    """Exact integer-cosine re-rank of (q_id, vec_id) candidates →
+    per-query top-k (tie → smaller vec_id)."""
     scored = (
         cand.join(
             prep.select(
@@ -414,53 +583,53 @@ def ann_lsh_topk(
     k: int = 5,
     query_mod: int = 50,
     bands: int = 4,
-    r: int = 4,
+    r: int | None = None,
+    target_bucket: int = ANN_TARGET_BUCKET,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN: banded-SRP candidates (any of `bands` r-plane band keys
-    matching makes a vector a candidate for that query) + exact
-    integer-cosine re-rank.
+    """ANN: banded-SRP candidates + exact integer-cosine re-rank, with
+    the band-key width DERIVED FROM CORPUS SIZE and multiprobe recall
+    recovery.
 
-    Banding trades recall for pruning like MinHash bands: one monolithic
-    16-bit bucket (2^16 keys) is so selective that most queries find an
-    EMPTY bucket; 4 bands of 4 bits (16 keys each) give every query a
-    candidate pool while still pruning ~(1 - (15/16)^4) of the corpus
-    per band structure. Candidates carry only ids through the join;
-    vectors re-attach afterwards."""
-    prep = _prepared(emb).persist()
+    Candidate generation: each vector gets `bands` keys of ``r`` sign
+    bits (``r = derive_r(N)`` unless pinned), so the key space per band
+    is ~N/target_bucket and the expected bucket holds ~target_bucket
+    vectors AT ANY N — the corpus fraction kept as candidates shrinks
+    as 1/keyspace instead of staying constant (round-2's fixed 4-bit
+    keys kept ≈ 1-(15/16)^4 ≈ 23% of the corpus per query; the derived
+    keys keep bands·(1+r)·target_bucket vectors, a few-per-million at
+    10^9). Narrow keys alone would cost recall; each query therefore
+    ALSO probes every band key at Hamming distance ≤ ``multiprobe``
+    (=1: the r single-bit flips — classic multi-probe LSH), which
+    multiplies query-side probes by (1+r) but adds no corpus-side
+    state. Candidate fraction + recall are measured in
+    tests/test_similarity_lsh.py on a planted 10^5-vector corpus.
+
+    Candidates carry only ids through the join; vectors re-attach for
+    the exact re-rank."""
+    prep = _persist(_prepared(emb))
+    if r is None:
+        r = derive_r(prep.count(), target_bucket)
     banded = prep.select(
         "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     qb = banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("q_id"), "band", "key"
     )
+    if multiprobe:
+        probe_keys = F.array(
+            F.col("key"),
+            *[F.col("key").bitwiseXOR(F.lit(1 << j)).cast("long") for j in range(r)],
+        )
+    else:
+        probe_keys = F.array(F.col("key"))
+    probes = qb.select(
+        "q_id", "band", F.explode(probe_keys).alias("key")
+    )
     cand = (
-        banded.join(F.broadcast(qb), ["band", "key"])
+        banded.join(F.broadcast(probes), ["band", "key"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    scored = (
-        cand.join(
-            prep.select(
-                F.col("vec_id").alias("q_id"),
-                F.col("qv").alias("q_qv"),
-                F.col("nrm").alias("q_nrm"),
-            ),
-            "q_id",
-        )
-        .join(prep, "vec_id")
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                int_dot(F.col("q_qv"), F.col("qv"))
-                / F.sqrt((F.col("q_nrm") * F.col("nrm")).cast("double"))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", "cos", "rk")
-    )
+    return _rerank_topk(cand, prep, k)

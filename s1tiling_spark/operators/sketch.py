@@ -123,3 +123,81 @@ def cms_estimate(
     return joined.groupBy("bucket_start", "source", "token").agg(
         F.min("cnt").alias("est")
     )
+
+
+# ---------------------------------------------------------------------
+# Mergeable quantile sketch: fixed-width value-bucket counts — the
+# deterministic core of the KLL/t-digest family, sized for the regime
+# where exact per-group `percentile` sort state hurts (unbounded group
+# cardinality). State is O(cap) counters per group, merge is bin-wise
+# sum (same cascade shape as the token histogram), and the estimate is
+# rank-seek over cumulative counts with error ≤ one bucket width.
+
+QSKETCH_WIDTH = 8
+QSKETCH_CAP = 127  # saturating top bucket
+
+
+def quantile_sketch_long(
+    seq: DataFrame,
+    tier: str,
+    value: str = "n_tok",
+    width: int = QSKETCH_WIDTH,
+    cap: int = QSKETCH_CAP,
+) -> DataFrame:
+    """Value stream → long-form quantile sketch per (bucket, source):
+    one row per non-empty value bucket ``qbin = min(v // width, cap)``."""
+    from s1tiling_spark.operators.rollup import bucket_col
+
+    return (
+        seq.groupBy(
+            bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
+            "source",
+            F.least(F.col(value) / F.lit(width), F.lit(cap))
+            .cast("int")
+            .alias("qbin"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(lower: DataFrame, bucket: Column) -> DataFrame:
+    """Cascade a long-form quantile sketch to a coarser tier: bin-wise
+    sum (counters are linear, like the CMS/histogram merges)."""
+    return lower.groupBy(bucket.alias("bucket_start"), "source", "qbin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    percents: list[tuple[int, str]],
+    width: int = QSKETCH_WIDTH,
+) -> DataFrame:
+    """Quantile estimates from a long-form sketch: for each (bucket,
+    source) and each (p, out_col) in ``percents`` (p in integer percent),
+    the smallest bucket upper edge whose cumulative count reaches the
+    integer rank ceil(p·N/100) — computed with pure integer arithmetic
+    ((p·N + 99) // 100), never p·N doubles, so both engines agree
+    exactly."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("bucket_start", "source")
+        .orderBy("qbin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("bucket_start", "source")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    aggs = []
+    for p, out in percents:
+        rank = (F.lit(p) * F.col("total") + F.lit(100 - 1)) / F.lit(100)
+        rank = F.floor(rank)  # (p*N + 99) // 100 == ceil(p*N/100)
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, (F.col("qbin") + 1) * width)
+            )
+            .cast("int")
+            .alias(out)
+        )
+    return cum.groupBy("bucket_start", "source").agg(*aggs)

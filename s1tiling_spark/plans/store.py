@@ -60,7 +60,12 @@ class TierStore:
     # ---------- commit sequence ----------
     def next_commit_seq(self) -> int:
         """Monotonic commit counter (the sandbox stand-in for an Iceberg
-        snapshot id)."""
+        snapshot id). SINGLE-WRITER by design: the read-modify-write of
+        the seq file is atomic against readers (tmp→rename) but not
+        against concurrent writers — exactly the driver-side commit
+        discipline of the reference's one-process orchestrator; a real
+        deployment gets multi-writer sequencing from Iceberg's
+        optimistic commit protocol instead of this file."""
         path = os.path.join(self.base_dir, "_commit_seq.json")
         seq = 0
         if os.path.exists(path):

@@ -22,20 +22,20 @@ import pytest
 # small scale (each has a bucketed scale-path sibling)
 SANCTIONED_LOOP_JOINS = {
     "ann_brute_topk",  # broadcast query side over corpus — stated baseline
-    "range_join",  # interval theta-join, broadcast small side by design
-    "ann_ivf_topk",  # broadcast 16-row codebook × corpus: the O(N·C) assignment pass
+    "coverage_join",  # interval theta-join, broadcast small side by design
+    "ann_ivf_topk",  # broadcast √N-row codebook × corpus: the O(N·C) assignment pass
 }
 # (embedding_near_dup_exact left the list: its O(N²) now runs inside a
 # broadcast-matrix numpy kernel — no join node at all)
 
 POSITIVE_SHAPES = {
-    "date_range_filter": ["PushedFilters"],
-    "rollup_1h": ["HashAggregate"],
+    "filter_union_slices": ["PushedFilters"],
+    "rollup_tiers": ["HashAggregate"],
     "broadcast_dim_join": ["BroadcastHashJoin"],
     "multiway_join": ["BroadcastHashJoin"],
     "topk_latest": ["TakeOrderedAndProject"],
     "forecast_revenue_change": ["PushedFilters"],
-    "dem_geoid_sum": ["BroadcastHashJoin"],
+    "tier_derived_cols": ["BroadcastHashJoin"],
 }
 
 

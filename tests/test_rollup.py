@@ -42,9 +42,9 @@ def test_cascade_30d(spark, seq):
 
 
 def test_rollup_against_oracle(spark, duck, sf_dir):
-    from s1tiling_spark.catalog.rollups import _rollup_oracle, rollup_1d
+    from s1tiling_spark.catalog.rollups import _ROLLUP_ORACLE, rollup_tiers
 
-    assert_spark_matches_duck(rollup_1d(spark, sf_dir), duck, _rollup_oracle("1d"))
+    assert_spark_matches_duck(rollup_tiers(spark, sf_dir), duck, _ROLLUP_ORACLE)
 
 
 def test_hist_merge_equals_direct(spark, seq):
@@ -54,9 +54,9 @@ def test_hist_merge_equals_direct(spark, seq):
 
 
 def test_hist_oracle(spark, duck, sf_dir):
-    from s1tiling_spark.catalog.rollups import _hist_oracle, tok_hist_1d
+    from s1tiling_spark.catalog.rollups import _HIST_ORACLE, tok_hist_tiers
 
-    assert_spark_matches_duck(tok_hist_1d(spark, sf_dir), duck, _hist_oracle("1d"))
+    assert_spark_matches_duck(tok_hist_tiers(spark, sf_dir), duck, _HIST_ORACLE)
 
 
 def test_hist_assemble_counts(spark, seq):
