@@ -510,6 +510,7 @@ def ivf_topk(
     n_cells: int | None = None,
     nprobe: int = 2,
     refine_iters: int = 0,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     probe the query's ``nprobe`` nearest cells, exact re-rank inside.
@@ -530,11 +531,12 @@ def ivf_topk(
     any parallelism.
     """
     prep = _persist(_prepared(emb))
-    if n_cells is None:
-        n_cells = max(4, math.isqrt(prep.count()))
-    cents = ivf_codebook(prep, n_cells)
-    if refine_iters:
-        cents = kmeans_refine(prep, cents, iters=refine_iters)
+    if cents is None:
+        if n_cells is None:
+            n_cells = max(4, math.isqrt(prep.count()))
+        cents = ivf_codebook(prep, n_cells)
+        if refine_iters:
+            cents = kmeans_refine(prep, cents, iters=refine_iters)
     cents = F.broadcast(cents.select("cid", "cqv", "cnrm"))
     ranked = _assign_cells(prep, cents)
     cell = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
@@ -610,6 +612,20 @@ def ann_lsh_topk(
     prep = _persist(_prepared(emb))
     if r is None:
         r = derive_r(prep.count(), target_bucket)
+    cand = ann_lsh_candidates(prep, query_mod, bands, r, multiprobe)
+    return _rerank_topk(cand, prep, k)
+
+
+def ann_lsh_candidates(
+    prep: DataFrame,
+    query_mod: int,
+    bands: int,
+    r: int,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Candidate (q_id, vec_id) pairs for :func:`ann_lsh_topk` —
+    exposed so tests can measure the candidate FRACTION independently
+    of the re-rank."""
     banded = prep.select(
         "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -626,10 +642,9 @@ def ann_lsh_topk(
     probes = qb.select(
         "q_id", "band", F.explode(probe_keys).alias("key")
     )
-    cand = (
+    return (
         banded.join(F.broadcast(probes), ["band", "key"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    return _rerank_topk(cand, prep, k)

@@ -47,9 +47,15 @@ def streaming_rollup_1h(
     spark: SparkSession,
     landing_dir: str,
     watermark: str = "10 minutes",
+    reader_options: dict | None = None,
 ) -> DataFrame:
-    """Streaming 1h tier: one watermarked window aggregate."""
-    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    """Streaming 1h tier: one watermarked window aggregate.
+    ``reader_options`` passes file-source knobs (e.g. maxFilesPerTrigger
+    for bounded micro-batches — the kill/resume e2e test uses it)."""
+    reader = spark.readStream.schema(SEQ_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(landing_dir)
     return (
         stream.withWatermark("event_ts", watermark)
         .groupBy(F.window("event_ts", "1 hour").alias("win"), "source")
