@@ -150,3 +150,33 @@ def test_retention_expire(spark, seq, tmp_path):
     after = store.read("1h").count()
     assert after < before
     assert store.read("1h").filter(F.col("bucket_start") < "2024-01-15").count() == 0
+
+
+def test_compaction_preserves_reads_and_shrinks_files(spark, seq, tmp_path):
+    """compact() physically applies MERGE-on-read: identical read
+    results, fewer files, original commit_seq kept so a LATER append
+    still wins over compacted survivors."""
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.rollup import rollup_sequences
+
+    store = TierStore(spark, str(tmp_path / "compact"))
+    tier = rollup_sequences(seq, "1d")
+    # three overlapping appends → three versions of every key
+    for i in range(3):
+        store.append("1d", tier, store.next_commit_seq(), f"run-{i}")
+    before = _tier_state(store, "1d")
+    versions = store.read("1d", deduped=False).count()
+    assert versions == 3 * len(before)
+
+    stats = store.compact("1d")
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == len(before)  # one surviving version per key
+    after = _tier_state(store, "1d")
+    assert_frames_match(after, before)
+
+    # a post-compaction append (higher commit_seq) must still win
+    bumped = tier.withColumn("cnt", F.col("cnt") + 1000)
+    store.append("1d", bumped, store.next_commit_seq(), "run-post")
+    newest = store.read("1d")
+    assert newest.filter(F.col("cnt") < 1000).count() == 0
