@@ -10,6 +10,7 @@ Subcommands:
   run        one incremental tier-pipeline run over the input table
   synth      materialize the deterministic synthetic sequence table
   expire     apply retention to a tier
+  compact    physically apply MERGE-on-read to a tier (file rewrite)
   metrics    dump the metrics table
 
 The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
@@ -48,6 +49,17 @@ def main(argv: list[str] | None = None) -> int:
     met = sub.add_parser("metrics", help="dump metrics table")
     met.add_argument("--store", required=True)
 
+    cmp_ = sub.add_parser(
+        "compact", help="physically apply MERGE-on-read to a tier"
+    )
+    cmp_.add_argument("--store", required=True)
+    cmp_.add_argument("--tier", required=True)
+    cmp_.add_argument(
+        "--keys",
+        default="bucket_start,source",
+        help="comma-separated natural key (hist tables add 'bin')",
+    )
+
     args = ap.parse_args(argv)
 
     from s1tiling_spark.session import build_session
@@ -76,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
 
             dropped = TierStore(spark, args.store).expire(args.tier, args.before)
             print(json.dumps({"dropped_partitions": dropped}))
+        elif args.cmd == "compact":
+            from s1tiling_spark.plans.store import TierStore
+
+            stats = TierStore(spark, args.store).compact(
+                args.tier, keys=tuple(args.keys.split(","))
+            )
+            print(json.dumps(stats))
         elif args.cmd == "metrics":
             from s1tiling_spark.plans.store import TierStore
 

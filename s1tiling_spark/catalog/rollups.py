@@ -91,7 +91,9 @@ def tok_hist_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raw tokens, 30d as a MERGE of the 1d sketches (bin-wise sum) —
     proving the sketch is merge-able across tiers."""
     seq = sequences_from_documents(spark, sf_dir)
-    h1d = token_hist_long(seq, "1d")
+    # persisted: the 1d sketch feeds BOTH the stacked output and the
+    # 30d merge — without the cache the heavy token explode runs twice
+    h1d = token_hist_long(seq, "1d").persist()
     h30d = merge_hist_long(h1d, "30d")
     return (
         h1d.withColumn("tier", F.lit("1d"))

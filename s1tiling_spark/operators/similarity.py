@@ -203,6 +203,56 @@ def srp_band_keys(qv: Column, bands: int, r: int) -> Column:
     )
 
 
+def srp_banded_arrow(prep: DataFrame, bands: int, r: int) -> DataFrame:
+    """(vec_id, qv, …) → long-form (vec_id, band, key) band keys,
+    computed as ONE numpy int64 matmul per Arrow batch instead of
+    bands·r interpreted column folds.
+
+    Exactness: the weight matrix W[d, j] = ((d·31 + j·17) % 101 % 7) − 3
+    is the same integer formula as :func:`srp_weight`; signs of exact
+    int64 dot products are engine-independent, so the keys are
+    bit-identical to :func:`srp_band_keys` (asserted by
+    tests/test_ann_scale.py::test_arrow_banding_matches_column_fold).
+
+    Scale shape: O(N·dim·bands·r) MACs as BLAS instead of interpreted
+    per-element lambdas — at bands·r ≳ 20 planes this is the dominant
+    banding cost (PERF.md §3's Arrow break-even, now on the projection
+    side). Output carries only (vec_id, band, key): the vectors never
+    leave the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = bands * r
+
+    def kernel(batches):
+        W = None
+        pow2 = (1 << np.arange(r, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf["qv"]), dtype=np.int64)
+            if W is None:
+                d = np.arange(Q.shape[1], dtype=np.int64)[:, None]
+                j = np.arange(n_planes, dtype=np.int64)[None, :]
+                W = ((d * 31 + j * 17) % 101 % 7) - 3
+            signs = (Q @ W) > 0  # (rows, planes) exact int64 dots
+            keys = (
+                signs.reshape(len(pdf), bands, r) * pow2[None, None, :]
+            ).sum(axis=2)
+            rows = np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": rows,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    return prep.select("vec_id", "qv").mapInPandas(
+        kernel, "vec_id long, band int, key long"
+    )
+
+
 def derive_r(
     n: int,
     target_bucket: int = ANN_TARGET_BUCKET,
@@ -237,9 +287,7 @@ def near_dup_pairs_lsh(
     re-attached to the deduped candidate pairs afterwards — the qv
     arrays never ride the candidate shuffle."""
     prep = _persist(_prepared(emb))
-    banded = prep.select(
-        "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _persist(srp_banded_arrow(prep, bands, r))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -626,9 +674,8 @@ def ann_lsh_candidates(
     """Candidate (q_id, vec_id) pairs for :func:`ann_lsh_topk` —
     exposed so tests can measure the candidate FRACTION independently
     of the re-rank."""
-    banded = prep.select(
-        "vec_id", F.explode(srp_band_keys(F.col("qv"), bands, r)).alias("bk")
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # persisted: both the corpus side and the query-probe side consume it
+    banded = _persist(srp_banded_arrow(prep, bands, r))
     qb = banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("q_id"), "band", "key"
     )

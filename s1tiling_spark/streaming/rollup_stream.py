@@ -103,6 +103,36 @@ def streaming_token_hist_1h(
     )
 
 
+def streaming_quantile_sketch_1h(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+    width: int | None = None,
+    cap: int | None = None,
+) -> DataFrame:
+    """Streaming 1h quantile sketch: the mergeable bucket-count sketch
+    (operators/sketch.quantile_sketch_long) as a watermarked window
+    aggregate. State = windows-in-watermark × sources × ≤cap buckets —
+    the same bounded-state argument as the histogram; downstream the
+    long-form counters merge 1h→1d and answer rank queries exactly like
+    the batch sketch (tests pin streaming == batch convergence)."""
+    from s1tiling_spark.operators.sketch import QSKETCH_CAP, QSKETCH_WIDTH
+
+    width = width or QSKETCH_WIDTH
+    cap = cap or QSKETCH_CAP
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    binned = stream.withColumn(
+        "qbin",
+        F.least(F.col("n_tok") / F.lit(width), F.lit(cap)).cast("int"),
+    )
+    return (
+        binned.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "source", "qbin")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("bucket_start"), "source", "qbin", "cnt")
+    )
+
+
 def run_stream_into_store(
     spark: SparkSession,
     landing_dir: str,

@@ -200,3 +200,27 @@ def test_kmeans_refine_deterministic_centroids(spark, clustered_corpus):
     r2 = kmeans_refine(prep.repartition(7), cents0, iters=2).orderBy("cid").collect()
     assert [(r["cid"], r["cqv"]) for r in r1] == [(r["cid"], r["cqv"]) for r in r2]
     release_cached()
+
+
+def test_arrow_banding_matches_column_fold(spark):
+    """The numpy-matmul banding kernel must produce bit-identical
+    (vec_id, band, key) rows to the column-fold formulation (same
+    integer weights, exact int64 dots) — the invariant that keeps the
+    DuckDB oracle's mirrored banding valid."""
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.similarity import (
+        srp_band_keys,
+        srp_banded_arrow,
+    )
+
+    emb = _synth_emb(spark, 500, 16)
+    prep = _prepared(emb)
+    fold = (
+        prep.select("vec_id", F.explode(srp_band_keys(F.col("qv"), 4, 7)).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    arrow = srp_banded_arrow(prep, 4, 7)
+    a = sorted(map(tuple, fold.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b
