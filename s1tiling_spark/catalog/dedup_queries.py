@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from s1tiling_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_REDUCE,
+    connected_components,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -180,5 +181,40 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=0.7,
         max_bucket=_MAX_BUCKET,
     )
+
+
+# ------------------------------------------------- connected components
+# Duplicate-cluster grouping: the transitive closure of the LSH pair
+# graph, one canonical keeper per component — the ITERATIVE-algorithm
+# family (hash-min label propagation in Spark; the unique min-reachable
+# fixpoint lets a recursive-CTE oracle verify it exactly).
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE lshp AS ({_MINHASH_LSH_ORACLE}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM lshp
+  UNION SELECT doc_b, doc_a FROM lshp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component,
+       u = least(u, min(v)) AS keep
+FROM reach GROUP BY u
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        k=3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        tau=0.7,
+        max_bucket=_MAX_BUCKET,
+    )
+    return connected_components(pairs)
 
 

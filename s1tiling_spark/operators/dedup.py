@@ -285,3 +285,84 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select("doc_id", fp.cast("int").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → (doc_id, component,
+    keep): the grouping step every dedup pipeline runs after pair
+    generation (pick ONE canonical doc per duplicate cluster, drop the
+    rest). component = the smallest doc_id reachable; keep = doc_id ==
+    component.
+
+    Algorithm: hash-min label propagation — every node starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels; converged when no label changes. Rounds needed = graph
+    diameter (near-dup clusters are near-cliques → 2-3 rounds); the
+    driver loop is the documented iterative pattern (one action per
+    round checks convergence — O(diameter) tiny jobs, each a single
+    equi-join + partial-agg shuffle over the EDGE list only, never the
+    corpus). For adversarial long-chain graphs at 10^12 scale the
+    large/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") halves diameter per round and slots into the same loop;
+    near-dup clusters never need it.
+
+    The fixpoint (min reachable id) is unique, so the result is
+    deterministic at any parallelism and any iteration schedule —
+    which is what lets a recursive-CTE oracle verify it exactly.
+    """
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    labels = (
+        edges.select("u").distinct().select(
+            F.col("u").alias("doc_id"), F.col("u").alias("component")
+        )
+    ).persist()
+    from pyspark.sql import Observation
+
+    for i in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("v"), F.col("component").alias("nc")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nc").alias("nmin"))
+        )
+        upd = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.u, "left"
+        ).select(
+            "doc_id",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nmin"), F.col("component")),
+            ).alias("component"),
+        )
+        # the convergence check rides the SAME action that materializes
+        # the new labels (observe) — one job per round, not two
+        obs = Observation(f"cc-round-{i}")
+        upd = upd.observe(
+            obs,
+            F.sum((F.col("_old") != F.col("component")).cast("long")).alias(
+                "changed"
+            ),
+        )
+        new_labels = upd.select("doc_id", "component").persist()
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+        if int(obs.get["changed"]) == 0:
+            break
+    edges.unpersist()
+    return labels.withColumn(
+        "keep", (F.col("doc_id") == F.col("component"))
+    )
