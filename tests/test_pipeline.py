@@ -180,3 +180,28 @@ def test_compaction_preserves_reads_and_shrinks_files(spark, seq, tmp_path):
     store.append("1d", bumped, store.next_commit_seq(), "run-post")
     newest = store.read("1d")
     assert newest.filter(F.col("cnt") < 1000).count() == 0
+
+
+def test_store_read_partition_pruning(spark, seq, tmp_path):
+    """A date-filtered read of a tier table must prune p_date partitions
+    AT THE SCAN (PartitionFilters in the FileScan) — the property that
+    makes bucket-range queries O(partitions touched) at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.rollup import rollup_sequences
+
+    store = TierStore(spark, str(tmp_path / "prune"))
+    store.append("1d", rollup_sequences(seq, "1d"), store.next_commit_seq(), "r0")
+    df = store.read("1d", deduped=False).filter(F.col("p_date") == "2024-01-05")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "p_date" in pf_line, pf_line
+    # and the filter actually prunes: one partition's rows only
+    assert 0 < df.count() < store.read("1d", deduped=False).count()
