@@ -352,9 +352,12 @@ def connected_components(
         obs = Observation(f"cc-round-{i}")
         upd = upd.observe(
             obs,
-            F.sum((F.col("_old") != F.col("component")).cast("long")).alias(
-                "changed"
-            ),
+            # coalesce: sum() over ZERO rows observes NULL (empty edge
+            # set → no labels), which must read as converged, not crash
+            F.coalesce(
+                F.sum((F.col("_old") != F.col("component")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         )
         new_labels = upd.select("doc_id", "component").persist()
         new_labels.count()

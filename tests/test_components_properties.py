@@ -1,0 +1,57 @@
+"""Property-based check of connected_components against a reference
+union-find on random graphs (the hypothesis gap-fill strategy applied
+to the iterative operator): for ANY edge list, the Spark hash-min
+propagation must produce exactly the union-find components with
+min-id canonical labels."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[int, set[int]] = {}
+    for node in parent:
+        groups.setdefault(find(node), set()).add(node)
+    return {node: min(members) for members in groups.values() for node in members}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    from s1tiling_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
