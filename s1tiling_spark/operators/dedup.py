@@ -319,9 +319,27 @@ def connected_components(
     edges = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().persist()
+    # adaptive degree-of-parallelism for the loop (the runtime re-plan
+    # AQE can't do across actions): the edge list is usually TINY
+    # relative to the corpus — near-dup pairs, not rows — and each
+    # propagation round is a full job, so scheduling dozens of
+    # near-empty shuffle tasks per round dominates. One count (already
+    # needed to materialize the persist) picks single-task rounds for
+    # small graphs; big graphs keep full parallelism.
+    n_edges = edges.count()
+    if n_edges < 100_000:
+        # narrow dependency over the already-persisted partitions — no
+        # recompute of the pair pipeline
+        edges = edges.coalesce(1)
+    # init folds the FIRST propagation hop into label creation
+    # (label₀ = min(self, direct neighbors)) — near-clique duplicate
+    # groups then converge in one confirming round
     labels = (
-        edges.select("u").distinct().select(
-            F.col("u").alias("doc_id"), F.col("u").alias("component")
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_nmin"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("_nmin")).alias("component"),
         )
     ).persist()
     from pyspark.sql import Observation
