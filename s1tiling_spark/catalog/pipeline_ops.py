@@ -131,6 +131,56 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- chunking
+# Sequence chunking: split each doc's token array into fixed-length
+# training chunks (the max_seq_len preprocessing step of every LLM
+# training pipeline; tail chunk keeps the remainder). Pure JVM array
+# algebra — explode over the chunk index range + slice — so the chunk
+# volume (the expensive part at 10^12 sequences) never touches Python.
+# Chunk payloads are emitted as md5 digests (driver canonicalizer
+# can't sort raw arrays) — content-exact per chunk.
+_CHUNK_LEN = 32
+
+
+@register(
+    "chunk_sequences",
+    oracle=(
+        "WITH seqs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
+        "  list_transform(string_split(text, ' '), "
+        "    w -> CAST(length(w)*131 + ascii(substr(w,1,1)) AS INT)) AS tokens, "
+        "  CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents), "
+        "c AS (SELECT doc_id, source, n_tok, tokens, u.ci FROM seqs, "
+        f"  unnest(range(0, (n_tok + {_CHUNK_LEN} - 1) // {_CHUNK_LEN})) AS u(ci)) "
+        "SELECT doc_id, source, CAST(ci AS INT) AS chunk_id, "
+        f"CAST(len(tokens[ci*{_CHUNK_LEN}+1 : ci*{_CHUNK_LEN}+{_CHUNK_LEN}]) AS INT) "
+        "AS n_chunk_tok, "
+        f"md5(array_to_string(tokens[ci*{_CHUNK_LEN}+1 : ci*{_CHUNK_LEN}+{_CHUNK_LEN}], ',')) "
+        "AS chunk_digest FROM c"
+    ),
+)
+def chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.sources.sequences import sequences_from_documents
+
+    seq = sequences_from_documents(spark, sf_dir)
+    n_chunks = ((F.col("n_tok") + _CHUNK_LEN - 1) / _CHUNK_LEN).cast("int")
+    c = seq.select(
+        "doc_id",
+        "source",
+        "tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("tokens"), F.col("chunk_id") * _CHUNK_LEN + 1, _CHUNK_LEN
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tok"),
+        F.md5(F.concat_ws(",", chunk.cast("array<string>"))).alias("chunk_digest"),
+    )
+
+
 # Sessionization: 30-minute-inactivity sessions per user (the classic
 # gaps-and-islands on event streams; same algebra as the reference's
 # acquisition grouping by time proximity, `otbpipeline.py:418-452`).
