@@ -92,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             from s1tiling_spark.plans.store import TierStore
 
             stats = TierStore(spark, args.store).compact(
-                args.tier, keys=tuple(args.keys.split(","))
+                args.tier,
+                keys=tuple(k.strip() for k in args.keys.split(",") if k.strip()),
             )
             print(json.dumps(stats))
         elif args.cmd == "metrics":

@@ -159,25 +159,11 @@ _CHUNK_LEN = 32
     ),
 )
 def chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.textstats import chunk_token_arrays
     from s1tiling_spark.sources.sequences import sequences_from_documents
 
-    seq = sequences_from_documents(spark, sf_dir)
-    n_chunks = ((F.col("n_tok") + _CHUNK_LEN - 1) / _CHUNK_LEN).cast("int")
-    c = seq.select(
-        "doc_id",
-        "source",
-        "tokens",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    chunk = F.slice(
-        F.col("tokens"), F.col("chunk_id") * _CHUNK_LEN + 1, _CHUNK_LEN
-    )
-    return c.select(
-        "doc_id",
-        "source",
-        "chunk_id",
-        F.size(chunk).alias("n_chunk_tok"),
-        F.md5(F.concat_ws(",", chunk.cast("array<string>"))).alias("chunk_digest"),
+    return chunk_token_arrays(
+        sequences_from_documents(spark, sf_dir), max_len=_CHUNK_LEN
     )
 
 

@@ -90,10 +90,13 @@ def tok_hist_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-histogram sketch tiers, long (merge-able) form: 1d built
     from raw tokens, 30d as a MERGE of the 1d sketches (bin-wise sum) —
     proving the sketch is merge-able across tiers."""
+    from s1tiling_spark.operators.cache import persist_tracked
+
     seq = sequences_from_documents(spark, sf_dir)
-    # persisted: the 1d sketch feeds BOTH the stacked output and the
-    # 30d merge — without the cache the heavy token explode runs twice
-    h1d = token_hist_long(seq, "1d").persist()
+    # persisted (tracked — release via operators.cache.release_cached):
+    # the 1d sketch feeds BOTH the stacked output and the 30d merge —
+    # without the cache the heavy token explode runs twice
+    h1d = persist_tracked(token_hist_long(seq, "1d"))
     h30d = merge_hist_long(h1d, "30d")
     return (
         h1d.withColumn("tier", F.lit("1d"))

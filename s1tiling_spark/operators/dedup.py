@@ -34,25 +34,12 @@ from pyspark.sql import functions as F
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 MINHASH_REDUCE = 1 << 20  # pre-mod so a*h + b stays < 2^40
 
-# cache hygiene: every persist() this module takes is tracked so
-# library callers running many queries in one session can release them
-# (mirrors operators/similarity.release_cached; bench.py's clearCache
-# also works)
-_TRACKED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _TRACKED.append(df)
-    return df
-
-
-def release_cached() -> None:
-    while _TRACKED:
-        try:
-            _TRACKED.pop().unpersist()
-        except Exception:
-            pass
+# cache hygiene: delegated to the shared tracker (operators/cache.py)
+from s1tiling_spark.operators.cache import (  # noqa: E402
+    persist_tracked as _persist,
+    release_cached,
+    track as _track,
+)
 
 
 def words_col(text: Column) -> Column:
@@ -314,11 +301,17 @@ def connected_components(
     The fixpoint (min reachable id) is unique, so the result is
     deterministic at any parallelism and any iteration schedule —
     which is what lets a recursive-CTE oracle verify it exactly.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without
+    convergence (possible only on long-chain graphs with diameter >
+    max_iters + 1) — a silently non-converged result would split one
+    true cluster into several and flag multiple keepers.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = fwd.unionByName(
+    edges_cached = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().persist()
+    edges = edges_cached
     # adaptive degree-of-parallelism for the loop (the runtime re-plan
     # AQE can't do across actions): the edge list is usually TINY
     # relative to the corpus — near-dup pairs, not rows — and each
@@ -326,11 +319,11 @@ def connected_components(
     # near-empty shuffle tasks per round dominates. One count (already
     # needed to materialize the persist) picks single-task rounds for
     # small graphs; big graphs keep full parallelism.
-    n_edges = edges.count()
+    n_edges = edges_cached.count()
     if n_edges < 100_000:
         # narrow dependency over the already-persisted partitions — no
         # recompute of the pair pipeline
-        edges = edges.coalesce(1)
+        edges = edges_cached.coalesce(1)
     # init folds the FIRST propagation hop into label creation
     # (label₀ = min(self, direct neighbors)) — near-clique duplicate
     # groups then converge in one confirming round
@@ -344,6 +337,7 @@ def connected_components(
     ).persist()
     from pyspark.sql import Observation
 
+    converged = n_edges == 0
     for i in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -382,8 +376,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if int(obs.get["changed"]) == 0:
+            converged = True
             break
-    edges.unpersist()
-    return labels.withColumn(
+    # the final labels are materialized, so the edge cache can go now
+    # (unpersist the PERSISTED relation, not the coalesced view of it);
+    # the returned labels stay cached and tracked for release_cached
+    edges_cached.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter too large) — raise max_iters or use a "
+            "large/small-star formulation for long-chain graphs"
+        )
+    return _track(labels).withColumn(
         "keep", (F.col("doc_id") == F.col("component"))
     )

@@ -52,23 +52,10 @@ ANN_R_MIN = 4
 ANN_R_MAX = 24
 
 # --------------------------------------------------------------- cache
-_TRACKED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _TRACKED.append(df)
-    return df
-
-
-def release_cached() -> None:
-    """Unpersist every relation this module cached (library callers'
-    cleanup hook; idempotent)."""
-    while _TRACKED:
-        try:
-            _TRACKED.pop().unpersist()
-        except Exception:
-            pass
+# delegated to the shared tracker (operators/cache.py); release_cached
+# below additionally destroys corpus broadcasts
+from s1tiling_spark.operators.cache import persist_tracked as _persist  # noqa: E402
+from s1tiling_spark.operators.cache import release_cached as _release_tracked  # noqa: E402
 
 
 def quantized(vec: Column) -> Column:
@@ -453,25 +440,20 @@ def _release_broadcasts() -> None:
             pass
 
 
-# release broadcasts together with cached relations
-_release_cached_rel = release_cached
-
-
-def release_cached() -> None:  # noqa: F811 — deliberate wrap
-    """Unpersist every relation AND destroy every corpus broadcast this
-    module created (library callers' cleanup hook; idempotent)."""
-    _release_cached_rel()
+def release_cached() -> None:
+    """Unpersist every tracked relation (all operator modules share one
+    registry) AND destroy every corpus broadcast this module created
+    (library callers' cleanup hook; idempotent)."""
+    _release_tracked()
     _release_broadcasts()
 
 
 def _ivf_hash(vec_id: Column) -> Column:
-    """md5-derived stratification hash for codebook sampling (same
-    formula as dedup.md5_long; namespaced)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit("ivf:"), vec_id.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    """md5-derived stratification hash for codebook sampling — the
+    repo-standard 60-bit hash (dedup.md5_long), namespaced."""
+    from s1tiling_spark.operators.dedup import md5_long
+
+    return md5_long(F.concat(F.lit("ivf:"), vec_id.cast("string")))
 
 
 def ivf_codebook(prep: DataFrame, n_cells: int) -> DataFrame:
@@ -577,6 +559,12 @@ def ivf_topk(
     All similarity math is the exact integer-cosine discipline of this
     module; ties break on smaller id, so results are deterministic at
     any parallelism.
+
+    NOTE: with ``n_cells=None`` (the scale-parameterized default),
+    deriving n_cells runs ONE count() job over the prepared corpus at
+    plan-construction time (it also warms the persisted relation every
+    later stage reads) — plan-only consumers pay that single scan; pin
+    ``n_cells`` to stay fully lazy.
     """
     prep = _persist(_prepared(emb))
     if cents is None:
@@ -656,7 +644,13 @@ def ann_lsh_topk(
     tests/test_similarity_lsh.py on a planted 10^5-vector corpus.
 
     Candidates carry only ids through the join; vectors re-attach for
-    the exact re-rank."""
+    the exact re-rank.
+
+    NOTE: with ``r=None`` (the scale-parameterized default), deriving r
+    runs ONE count() job over the prepared corpus at plan-construction
+    time (it also warms the persisted relation every later stage
+    reads) — plan-only consumers pay that single scan; pin ``r`` to
+    stay fully lazy."""
     prep = _persist(_prepared(emb))
     if r is None:
         r = derive_r(prep.count(), target_bucket)

@@ -129,3 +129,33 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.lit(FP_MOD),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def chunk_token_arrays(seq: DataFrame, max_len: int = 32) -> DataFrame:
+    """Split each row's token array into fixed-length training chunks
+    (the max_seq_len preprocessing step of every LLM pipeline; the tail
+    chunk keeps the remainder). Pure JVM array algebra — explode over
+    the chunk index range + slice — so the chunk volume never touches
+    Python. Chunk payloads emit as content-exact md5 digests.
+
+    Requires columns (doc_id, source, tokens, n_tok). Rows with
+    n_tok == 0 emit NO chunks (a bare sequence(0, -1) would DESCEND and
+    emit two phantom chunks — guarded)."""
+    n_chunks = ((F.col("n_tok") + max_len - 1) / max_len).cast("int")
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    c = seq.select(
+        "doc_id",
+        "source",
+        "tokens",
+        F.explode(chunk_ids).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("tokens"), F.col("chunk_id") * max_len + 1, max_len)
+    return c.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tok"),
+        F.md5(F.concat_ws(",", chunk.cast("array<string>"))).alias("chunk_digest"),
+    )

@@ -210,16 +210,33 @@ class TierStore:
         window rank pays for every historical version forever. Compaction
         is the Iceberg `rewrite_data_files` analog: survivors keep their
         ORIGINAL commit_seq, so dedup-on-read stays correct and any
-        LATER append still wins. The swap is per-partition tmp→rename
-        (the reference's commit discipline); a crash mid-swap leaves a
-        mix of compacted and uncompacted partitions, which reads
-        identically (dedup-on-read is idempotent).
+        LATER append still wins. The per-partition swap is
+        rename-aside → rename-in → delete-old: a crash leaves either
+        the old partition, the new one, or (in the two-rename window) a
+        ``_stale_*``-prefixed aside dir that readers never list and the
+        next compact() garbage-collects — never a silently missing
+        partition.
+
+        SAFETY: ``keys`` must be the tier's FULL natural key. Long-form
+        sketch tiers carry an extra key column (bin/qbin/depth/col) —
+        compacting them with the default key would physically DELETE
+        all but one arbitrary counter per (bucket, source), so those
+        columns are refused unless listed in ``keys``.
 
         Returns {files_before, files_after, rows}.
         """
         path = self.tier_path(tier)
         if not os.path.isdir(path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
+        # GC leftovers from a previously crashed compact
+        parent = os.path.dirname(path) or "."
+        for d in list(os.listdir(parent)):
+            full = os.path.join(parent, d)
+            if d.startswith(os.path.basename(path) + "_compact_"):
+                shutil.rmtree(full, ignore_errors=True)
+        for d in list(os.listdir(path)):
+            if d.startswith("_stale_"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
         def _count_files() -> int:
             n = 0
@@ -236,6 +253,17 @@ class TierStore:
         deduped = self.read(tier, deduped=True, keys=keys)
         if deduped is None:
             return {"files_before": files_before, "files_after": files_before, "rows": 0}
+        sketch_keys = [
+            c
+            for c in ("bin", "qbin", "depth", "col")
+            if c in deduped.columns and c not in keys
+        ]
+        if sketch_keys:
+            raise ValueError(
+                f"tier {tier!r} carries sketch key column(s) {sketch_keys} "
+                f"not in keys={keys} — compacting would delete all but one "
+                "counter per group; pass the full natural key"
+            )
         tmp = path + f"_compact_{uuid.uuid4().hex}"
         # one task per p_date → one file per partition
         rows = deduped.repartition("p_date")
@@ -245,9 +273,11 @@ class TierStore:
             if not part.startswith("p_date="):
                 continue
             dpart = os.path.join(path, part)
+            aside = os.path.join(path, f"_stale_{part}.{uuid.uuid4().hex[:8]}")
             if os.path.isdir(dpart):
-                shutil.rmtree(dpart)
+                os.rename(dpart, aside)  # aside: readers never list _stale_*
             os.rename(os.path.join(tmp, part), dpart)
+            shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
         out = self.read(tier, deduped=False)
         n_rows = out.count() if out is not None else 0

@@ -11,7 +11,9 @@ string, event_ts timestamp`) — so every downstream operator is
 format-oblivious. CSV cannot carry arrays or microsecond timestamps
 natively, so tokens travel as a comma-joined string and are re-parsed
 on read (exact integer round-trip; empty arrays round-trip via the
-empty string), and event_ts serializes as ISO-8601 with microseconds.
+empty string, NULL arrays via an explicit nullValue marker so NULL and
+[] stay distinct like they do in parquet/JSON), and event_ts
+serializes as ISO-8601 with microseconds.
 
 Scale notes: all three readers are Spark file sources — partition
 discovery, predicate/column pushdown (parquet), and schema enforcement
@@ -44,14 +46,20 @@ def write_sequences(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     elif fmt == "csv":
         out = df.select(
             "doc_id",
-            F.concat_ws(",", F.col("tokens").cast("array<string>")).alias(
-                "tokens_csv"
-            ),
+            # NULL arrays stay NULL (concat_ws would fold them to ''
+            # and silently become empty arrays on read)
+            F.when(
+                F.col("tokens").isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.concat_ws(",", F.col("tokens").cast("array<string>"))
+            ).alias("tokens_csv"),
             "n_tok",
             "source",
             F.date_format("event_ts", _TS_FMT).alias("event_ts"),
         )
-        out.write.mode("overwrite").option("header", "true").csv(path)
+        out.write.mode("overwrite").option("header", "true").option(
+            "nullValue", "\\N"
+        ).csv(path)
     else:
         raise ValueError(f"unknown format {fmt!r}")
 
@@ -74,13 +82,15 @@ def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
             .option("header", "true")
             .option("mode", "FAILFAST")
             .option("timestampFormat", _TS_FMT)
+            .option("nullValue", "\\N")
             .csv(path)
         )
-        tokens = F.when(
-            F.length(F.coalesce(F.col("tokens_csv"), F.lit(""))) == 0,
-            F.array().cast("array<int>"),
-        ).otherwise(
-            F.transform(F.split("tokens_csv", ","), lambda x: x.cast("int"))
+        tokens = (
+            F.when(F.col("tokens_csv").isNull(), F.lit(None).cast("array<int>"))
+            .when(F.length("tokens_csv") == 0, F.array().cast("array<int>"))
+            .otherwise(
+                F.transform(F.split("tokens_csv", ","), lambda x: x.cast("int"))
+            )
         )
         return raw.select(
             "doc_id",

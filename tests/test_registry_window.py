@@ -1,0 +1,26 @@
+"""Registry-window invariant: the driver's correctness gate records the
+FIRST 50 registered queries; every core (non-TPC-H) gate must therefore
+register inside positions 1-50, extras strictly after. This is the
+assertion the catalog/__init__.py docstring promises."""
+
+from __future__ import annotations
+
+EXTRAS = {"pricing_summary", "top_unshipped_orders", "forecast_revenue_change"}
+WINDOW = 50
+
+
+def test_core_queries_fit_the_50_entry_window():
+    from s1tiling_spark import registry
+
+    names = list(registry.queries())
+    core = [n for n in names if n not in EXTRAS]
+    assert len(core) <= WINDOW, (
+        f"{len(core)} core queries > {WINDOW}-entry driver window — "
+        f"consolidate before registering more: {core[WINDOW:]}"
+    )
+    # extras must come strictly after every core query
+    first_extra = min(names.index(n) for n in EXTRAS if n in names)
+    last_core = max(names.index(n) for n in core)
+    assert last_core < first_extra, "a core gate registers after a TPC-H extra"
+    # and every oracle key matches a registered query
+    assert set(registry.oracle_sql()) <= set(names)
