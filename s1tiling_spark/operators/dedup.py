@@ -286,17 +286,16 @@ def connected_components(
     rest). component = the smallest doc_id reachable; keep = doc_id ==
     component.
 
-    Algorithm: hash-min label propagation — every node starts labeled
-    with itself; each round takes the min of its own and its neighbors'
-    labels; converged when no label changes. Rounds needed = graph
-    diameter (near-dup clusters are near-cliques → 2-3 rounds); the
-    driver loop is the documented iterative pattern (one action per
-    round checks convergence — O(diameter) tiny jobs, each a single
-    equi-join + partial-agg shuffle over the EDGE list only, never the
-    corpus). For adversarial long-chain graphs at 10^12 scale the
-    large/small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") halves diameter per round and slots into the same loop;
-    near-dup clusters never need it.
+    Algorithm: hash-min label propagation WITH POINTER JUMPING — every
+    node starts labeled min(self, direct neighbors); each round takes
+    (a) the min of its neighbors' labels and (b) its label's label
+    (L(L(u)) — path halving), so chain depth halves per round and
+    convergence needs O(log diameter) rounds, not O(diameter): a
+    60-node chain converges in ~7 rounds (tested), near-clique
+    duplicate groups in 2. The driver loop is the documented iterative
+    pattern (one action per round checks convergence via observe —
+    tiny jobs over the EDGE list and label table only, never the
+    corpus).
 
     The fixpoint (min reachable id) is unique, so the result is
     deterministic at any parallelism and any iteration schedule —
@@ -327,6 +326,13 @@ def connected_components(
     # init folds the FIRST propagation hop into label creation
     # (label₀ = min(self, direct neighbors)) — near-clique duplicate
     # groups then converge in one confirming round
+    # LINEAGE DISCIPLINE: each round's label table is localCheckpoint'd
+    # (eager) — the jump join references the previous round's plan
+    # TWICE, so without truncation the logical plan doubles per round
+    # and Catalyst analysis time goes exponential (measured: 2.9s,
+    # 2.3s, 2.5s, 6.5s, 43.8s, ... per round). localCheckpoint cuts
+    # the plan at materialized blocks; on a cluster where executors can
+    # be lost mid-job, swap for reliable checkpoint(dir) — same shape.
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("_nmin"))
@@ -334,7 +340,7 @@ def connected_components(
             F.col("u").alias("doc_id"),
             F.least(F.col("u"), F.col("_nmin")).alias("component"),
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Observation
 
     converged = n_edges == 0
@@ -349,14 +355,29 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nc").alias("nmin"))
         )
-        upd = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.u, "left"
+        stepped = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["u"], "left"
         ).select(
             "doc_id",
             F.col("component").alias("_old"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nmin"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jumping (path halving): L(u) ← min(L(u), L(L(u))).
+        # Every label IS some node's id in the same component, so the
+        # self-join always resolves; chains collapse logarithmically.
+        jump = stepped.select(
+            F.col("doc_id").alias("component"),
+            F.col("component").alias("_jumped"),
+        )
+        upd = stepped.join(jump, "component", "left").select(
+            "doc_id",
+            "_old",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("_jumped"), F.col("component")),
             ).alias("component"),
         )
         # the convergence check rides the SAME action that materializes
@@ -371,23 +392,22 @@ def connected_components(
                 F.lit(0),
             ).alias("changed"),
         )
-        new_labels = upd.select("doc_id", "component").persist()
-        new_labels.count()
-        labels.unpersist()
-        labels = new_labels
+        # eager localCheckpoint = the one action of the round (fires
+        # the observe metric) + lineage truncation; superseded
+        # checkpoints are freed by the ContextCleaner
+        labels = upd.select("doc_id", "component").localCheckpoint(eager=True)
         if int(obs.get["changed"]) == 0:
             converged = True
             break
-    # the final labels are materialized, so the edge cache can go now
-    # (unpersist the PERSISTED relation, not the coalesced view of it);
-    # the returned labels stay cached and tracked for release_cached
+    # the final labels are checkpointed blocks, so the edge cache can
+    # go now (unpersist the PERSISTED relation, not its coalesced view)
     edges_cached.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            "(graph diameter too large) — raise max_iters or use a "
-            "large/small-star formulation for long-chain graphs"
+            "(graph diameter too large for the pointer-jumping bound) — "
+            "raise max_iters"
         )
-    return _track(labels).withColumn(
+    return labels.withColumn(
         "keep", (F.col("doc_id") == F.col("component"))
     )

@@ -55,3 +55,18 @@ def test_components_match_union_find(spark, edges):
     }
     want = _union_find(edges)
     assert got == want
+
+
+def test_long_chain_converges_with_pointer_jumping(spark):
+    """A 60-node path graph (diameter 59) must converge well inside
+    max_iters — pointer jumping gives O(log diameter) rounds where pure
+    hash-min would need 59 and raise."""
+    from s1tiling_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(59)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iters=12).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
