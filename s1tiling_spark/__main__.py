@@ -10,7 +10,10 @@ Subcommands:
   run        one incremental tier-pipeline run over the input table
   synth      materialize the deterministic synthetic sequence table
   expire     apply retention to a tier
-  compact    physically apply MERGE-on-read to a tier (file rewrite)
+  compact    physically apply MERGE-on-read to a tier (file rewrite);
+             --expire-below E keeps snapshots >= E readable (0 = pure
+             file compaction, full time travel)
+  snapshots  list commits still present in a tier (time-travel catalog)
   metrics    dump the metrics table
 
 The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
@@ -59,6 +62,17 @@ def main(argv: list[str] | None = None) -> int:
         default="bucket_start,source",
         help="comma-separated natural key (hist tables add 'bin')",
     )
+    cmp_.add_argument(
+        "--expire-below",
+        type=int,
+        default=None,
+        help="keep every snapshot >= this commit_seq readable "
+        "(default: expire all history, newest version per key only)",
+    )
+
+    snap = sub.add_parser("snapshots", help="list commits present in a tier")
+    snap.add_argument("--store", required=True)
+    snap.add_argument("--tier", required=True)
 
     args = ap.parse_args(argv)
 
@@ -94,8 +108,20 @@ def main(argv: list[str] | None = None) -> int:
             stats = TierStore(spark, args.store).compact(
                 args.tier,
                 keys=tuple(k.strip() for k in args.keys.split(",") if k.strip()),
+                expire_below=args.expire_below,
             )
             print(json.dumps(stats))
+        elif args.cmd == "snapshots":
+            from s1tiling_spark.plans.store import TierStore
+
+            store = TierStore(spark, args.store)
+            snaps = store.snapshots(args.tier)
+            for row in (snaps.collect() if snaps is not None else []):
+                print(json.dumps(row.asDict(), default=str))
+            print(
+                json.dumps({"min_as_of": store.min_as_of(args.tier)}),
+                file=sys.stderr,
+            )
         elif args.cmd == "metrics":
             from s1tiling_spark.plans.store import TierStore
 

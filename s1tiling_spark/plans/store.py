@@ -57,6 +57,28 @@ class TierStore:
     def _metrics_path(self) -> str:
         return os.path.join(self.base_dir, METRICS_DIR)
 
+    def _compact_meta_path(self) -> str:
+        return os.path.join(self.base_dir, "_compact_meta.json")
+
+    def _read_compact_meta(self) -> dict:
+        path = self._compact_meta_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_compact_meta(self, meta: dict) -> None:
+        tmp = self._compact_meta_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._compact_meta_path())
+
+    def min_as_of(self, tier: str) -> int:
+        """Oldest snapshot horizon still reconstructable for ``tier``.
+        0 until a compaction expires history; compact(expire_below=E)
+        raises it to E, default compact to the then-current seq."""
+        return int(self._read_compact_meta().get(tier, 0))
+
     # ---------- commit sequence ----------
     def next_commit_seq(self) -> int:
         """Monotonic commit counter (the sandbox stand-in for an Iceberg
@@ -121,16 +143,37 @@ class TierStore:
         tier: str,
         deduped: bool = True,
         keys: tuple[str, ...] = ("bucket_start", "source"),
+        as_of_seq: int | None = None,
     ) -> DataFrame | None:
         """Read a tier table; with ``deduped`` the newest commit wins per
         natural key (default (bucket_start, source); histogram tables add
-        ``bin``) — MERGE-on-read."""
+        ``bin``) — MERGE-on-read.
+
+        ``as_of_seq``: snapshot-as-of (time-travel) read — reconstruct
+        the table state as of commit ``as_of_seq`` by restricting the
+        MERGE-on-read to versions with ``commit_seq <= as_of_seq``.
+        The Iceberg ``VERSION AS OF`` analog on the existing commit_seq
+        lineage (reference analog: restart-from-existing-products,
+        `/root/reference/s1tiling/libs/otbpipeline.py:814-819`).
+        Raises if a compaction has expired history below that horizon
+        (``min_as_of``) — a silent wrong answer is never returned.
+        """
         path = self.tier_path(tier)
         if not os.path.isdir(path) or not any(
             p.startswith("p_date=") for p in os.listdir(path)
         ):
             return None
         df = self.spark.read.option("basePath", path).parquet(path)
+        if as_of_seq is not None:
+            horizon = self.min_as_of(tier)
+            if as_of_seq < horizon:
+                raise ValueError(
+                    f"tier {tier!r}: snapshot as_of_seq={as_of_seq} predates "
+                    f"the compaction horizon min_as_of={horizon}; history "
+                    "below it was expired (compact with expire_below to "
+                    "retain older snapshots)"
+                )
+            df = df.filter(F.col("commit_seq") <= int(as_of_seq))
         if not deduped:
             return df
         w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
@@ -138,6 +181,25 @@ class TierStore:
             df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .drop("_rk")
+        )
+
+    def snapshots(self, tier: str) -> DataFrame | None:
+        """List commits still present in ``tier``: one row per
+        commit_seq with its run_id, row-version count and date range —
+        the ``table.snapshots`` metadata-table analog. Any listed
+        ``commit_seq >= min_as_of(tier)`` is a valid ``as_of_seq``."""
+        df = self.read(tier, deduped=False)
+        if df is None:
+            return None
+        return (
+            df.groupBy("commit_seq")
+            .agg(
+                F.first("run_id").alias("run_id"),
+                F.count(F.lit(1)).alias("row_versions"),
+                F.min("p_date").alias("min_date"),
+                F.max("p_date").alias("max_date"),
+            )
+            .orderBy("commit_seq")
         )
 
     # ---------- checkpoint ----------
@@ -201,21 +263,36 @@ class TierStore:
         self,
         tier: str,
         keys: tuple[str, ...] = ("bucket_start", "source"),
+        expire_below: int | None = None,
     ) -> dict:
-        """Physically apply MERGE-on-read: rewrite each partition keeping
-        only the newest commit per natural key, one file per partition.
+        """Physically apply MERGE-on-read: rewrite each partition with
+        one file per partition, expiring superseded row versions.
 
         Append + dedup-on-read accumulates one row VERSION per commit —
         at 10^12 sequences with frequent late-data merges the read-side
         window rank pays for every historical version forever. Compaction
-        is the Iceberg `rewrite_data_files` analog: survivors keep their
-        ORIGINAL commit_seq, so dedup-on-read stays correct and any
-        LATER append still wins. The per-partition swap is
-        rename-aside → rename-in → delete-old: a crash leaves either
-        the old partition, the new one, or (in the two-rename window) a
-        ``_stale_*``-prefixed aside dir that readers never list and the
-        next compact() garbage-collects — never a silently missing
-        partition.
+        is the Iceberg `rewrite_data_files` (+ `expire_snapshots`)
+        analog: survivors keep their ORIGINAL commit_seq, so
+        dedup-on-read stays correct and any LATER append still wins.
+
+        ``expire_below`` controls how much snapshot history survives:
+
+        - ``None`` (default): expire everything — keep only the newest
+          version per natural key (Iceberg ``expire_snapshots`` to
+          current). Time travel below the current seq is gone; the
+          horizon is recorded so ``read(as_of_seq=...)`` below it
+          RAISES instead of silently answering wrong.
+        - integer ``E``: keep, per key, the winning version as of ``E``
+          plus every newer version — every ``as_of_seq >= E`` read
+          stays exactly reconstructable. ``E=0`` keeps ALL versions:
+          pure file compaction, full time travel preserved.
+
+        The per-partition swap is rename-aside → rename-in →
+        delete-old: a crash leaves either the old partition, the new
+        one, or (in the two-rename window) a ``_stale_*``-prefixed
+        aside dir that readers never list; the next compact() RESTORES
+        an aside whose live partition is missing before any deletion —
+        never a silently missing partition.
 
         SAFETY: ``keys`` must be the tier's FULL natural key. Long-form
         sketch tiers carry an extra key column (bin/qbin/depth/col) —
@@ -225,18 +302,33 @@ class TierStore:
 
         Returns {files_before, files_after, rows}.
         """
+        from pyspark.sql import Observation
+
         path = self.tier_path(tier)
         if not os.path.isdir(path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
-        # GC leftovers from a previously crashed compact
+        # Crash repair, restore-first (a crash between rename-aside and
+        # rename-in leaves the partition's ONLY live copy in the aside):
+        # 1. any _stale_<part>.<sfx> whose live <part> is missing is
+        #    renamed back; asides whose live partition exists are dead.
+        for d in list(os.listdir(path)):
+            if not d.startswith("_stale_"):
+                continue
+            # aside names encode '=' as '~' (a name containing '=' is
+            # EXEMPT from Spark's hidden-path filter and would be
+            # parsed as a partition dir, breaking partition inference)
+            orig = d[len("_stale_") :].rsplit(".", 1)[0].replace("~", "=")
+            live = os.path.join(path, orig)
+            if orig.startswith("p_date=") and not os.path.isdir(live):
+                os.rename(os.path.join(path, d), live)
+            else:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        # 2. only after restore: drop crashed-compact tmp dirs (their
+        #    content is re-derivable from the now-complete live table).
         parent = os.path.dirname(path) or "."
         for d in list(os.listdir(parent)):
-            full = os.path.join(parent, d)
             if d.startswith(os.path.basename(path) + "_compact_"):
-                shutil.rmtree(full, ignore_errors=True)
-        for d in list(os.listdir(path)):
-            if d.startswith("_stale_"):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
         def _count_files() -> int:
             n = 0
@@ -250,13 +342,13 @@ class TierStore:
             return n
 
         files_before = _count_files()
-        deduped = self.read(tier, deduped=True, keys=keys)
-        if deduped is None:
+        raw = self.read(tier, deduped=False)
+        if raw is None:
             return {"files_before": files_before, "files_after": files_before, "rows": 0}
         sketch_keys = [
             c
             for c in ("bin", "qbin", "depth", "col")
-            if c in deduped.columns and c not in keys
+            if c in raw.columns and c not in keys
         ]
         if sketch_keys:
             raise ValueError(
@@ -264,23 +356,77 @@ class TierStore:
                 f"not in keys={keys} — compacting would delete all but one "
                 "counter per group; pass the full natural key"
             )
+        if expire_below is None:
+            # full expiry: newest version per key only. The new horizon
+            # is EXACT, not conservative: only keys that actually lose
+            # versions invalidate old snapshots, and only below their
+            # newest surviving seq — disjoint incremental appends drop
+            # nothing and keep full time travel. Computed via the same
+            # observe() that counts rows (rides the write, no extra job).
+            kw = Window.partitionBy(*keys)
+            w = kw.orderBy(F.desc("commit_seq"))
+            kept = (
+                raw.withColumn("_rk", F.row_number().over(w))
+                .withColumn("_nv", F.count(F.lit(1)).over(kw))
+                .filter(F.col("_rk") == 1)
+            )
+            horizon_expr = F.max(
+                F.when(F.col("_nv") > 1, F.col("commit_seq"))
+            ).alias("horizon")
+            kept = kept.drop("_rk")
+            new_horizon = None  # filled from the observation below
+        else:
+            # keep the winner as of expire_below + everything newer;
+            # keys with no version <= expire_below keep all versions
+            w = Window.partitionBy(*keys)
+            winner = F.max(
+                F.when(
+                    F.col("commit_seq") <= int(expire_below), F.col("commit_seq")
+                )
+            ).over(w)
+            kept = (
+                raw.withColumn("_w", winner)
+                .filter(F.col("commit_seq") >= F.coalesce(F.col("_w"), F.lit(0)))
+                .drop("_w")
+            )
+            new_horizon = int(expire_below)
         tmp = path + f"_compact_{uuid.uuid4().hex}"
-        # one task per p_date → one file per partition
-        rows = deduped.repartition("p_date")
+        # one task per p_date → one file per partition; row count (and,
+        # for full expiry, the exact new horizon) ride the write via
+        # observe() — no post-compact re-scan
+        obs = Observation(f"compact-{tier}-{uuid.uuid4().hex[:8]}")
+        if expire_below is None:
+            rows = kept.observe(
+                obs, F.count(F.lit(1)).alias("rows"), horizon_expr
+            ).drop("_nv")
+        else:
+            rows = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
+        rows = rows.repartition("p_date")
         rows.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
-        n_rows = 0
+        vals = obs.get
+        n_rows = int(vals["rows"])
+        if new_horizon is None:
+            h = vals.get("horizon")
+            new_horizon = int(h) if h is not None else 0
         for part in os.listdir(tmp):
             if not part.startswith("p_date="):
                 continue
             dpart = os.path.join(path, part)
-            aside = os.path.join(path, f"_stale_{part}.{uuid.uuid4().hex[:8]}")
+            # '=' encoded as '~': keeps the aside inside Spark's
+            # hidden-path filter (a '_'-prefixed name containing '='
+            # would be treated as a partition dir)
+            aside = os.path.join(
+                path,
+                f"_stale_{part.replace('=', '~')}.{uuid.uuid4().hex[:8]}",
+            )
             if os.path.isdir(dpart):
-                os.rename(dpart, aside)  # aside: readers never list _stale_*
+                os.rename(dpart, aside)  # aside: readers never list it
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
-        out = self.read(tier, deduped=False)
-        n_rows = out.count() if out is not None else 0
+        meta = self._read_compact_meta()
+        meta[tier] = max(int(meta.get(tier, 0)), new_horizon)
+        self._write_compact_meta(meta)
         return {
             "files_before": files_before,
             "files_after": _count_files(),
