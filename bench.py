@@ -176,13 +176,18 @@ def main() -> None:
     samples: dict[str, list[float]] = {"tier_cascade": [round(r["sec"], 3) for r in runs]}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cascade":
+        from s1tiling_spark.operators.cache import release_cached
+
         for name, fn in e.queries().items():
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
             t = time.time() - t0
             # queries that persist intermediates (LSH signatures, IVF
             # prep) must not donate cache to — or steal memory from —
-            # later queries: each timing is an independent cold run
+            # later queries: each timing is an independent cold run.
+            # release_cached() also drains the tracked-persist registry
+            # (clearCache alone leaves Python-side plan refs behind)
+            release_cached()
             spark.catalog.clearCache()
             if t > 5.0:
                 # same best-of-2 policy as the flagship, applied only
@@ -195,6 +200,7 @@ def main() -> None:
                 t2 = time.time() - t1
                 samples[name] = [round(t, 3), round(t2, 3)]
                 t = min(t, t2)
+                release_cached()
                 spark.catalog.clearCache()
             queries[name] = round(t, 2)
 

@@ -244,49 +244,9 @@ def ipf_version_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------
-# Ground + satellite XYZ derived-feature kernel
+# NOTE: the ground+satellite XYZ derived-feature kernel
 # (`ComputeGroundAndSatPositionsOnDEM` / SARDEMProjection2,
-# `/root/reference/s1tiling/libs/otbwrappers/lia.py:402-606`): each
-# pixel gets multi-band derived coordinates (ground XYZ, satellite
-# XYZ), later reduced to the local-incidence-angle cosine. Here each
-# row derives a unit "ground vector" and a shifted "satellite vector"
-# from its scalar columns, and the LIA-cosine analog is their
-# normalized dot product — all via IEEE-exact +,*,/ and sqrt.
-@register(
-    "xyz_derived_features",
-    oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE}, "
-        "b AS (SELECT doc_id, CAST(n_tok AS DOUBLE) AS nt, "
-        "  CAST(CAST(doc_id AS BIGINT) % 1000 AS DOUBLE) AS d FROM sequences), "
-        "g AS (SELECT doc_id, nt, d, sqrt(nt*nt + d*d + 1.0) AS r, "
-        "  sqrt((nt+100.0)*(nt+100.0) + d*d + 1.0) AS rs FROM b) "
-        "SELECT doc_id, nt / r AS gx, d / r AS gy, 1.0 / r AS gz, "
-        "((nt*(nt+100.0) + d*d + 1.0) / (r * rs)) AS cos_lia "
-        "FROM g"
-    ),
-)
-def xyz_derived_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seq = sequences_from_documents(spark, sf_dir)
-    b = seq.select(
-        "doc_id",
-        F.col("n_tok").cast("double").alias("nt"),
-        (F.col("doc_id").cast("long") % 1000).cast("double").alias("d"),
-    )
-    r = F.sqrt(F.col("nt") * F.col("nt") + F.col("d") * F.col("d") + F.lit(1.0))
-    rs = F.sqrt(
-        (F.col("nt") + 100.0) * (F.col("nt") + 100.0)
-        + F.col("d") * F.col("d")
-        + F.lit(1.0)
-    )
-    g = b.select("doc_id", "nt", "d", r.alias("r"), rs.alias("rs"))
-    return g.select(
-        "doc_id",
-        (F.col("nt") / F.col("r")).alias("gx"),
-        (F.col("d") / F.col("r")).alias("gy"),
-        (F.lit(1.0) / F.col("r")).alias("gz"),
-        (
-            (F.col("nt") * (F.col("nt") + 100.0) + F.col("d") * F.col("d") + 1.0)
-            / (F.col("r") * F.col("rs"))
-        ).alias("cos_lia"),
-    )
+# `lia.py:402-606`) is gated as the ``gx``/``gy``/``gz``/``cos_lia``
+# columns of `passthrough_tokens` (catalog/windows_kernels.py) — merged
+# there to keep every core gate inside the driver's 50-entry
+# correctness window (see COVERAGE.md).

@@ -151,11 +151,19 @@ SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
 
 @register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from s1tiling_spark.sources.tables import parquet_row_count
+
+    # n_cells = max(4, isqrt(N)) with N from parquet FOOTER metadata —
+    # no count() scan at plan time (the operator's n_cells=None path
+    # remains the fallback for non-table DataFrames)
+    n = parquet_row_count("embeddings", sf_dir)
     return ivf_topk(
         load_table(spark, "embeddings", sf_dir),
         k=_K,
         query_mod=_QUERY_MOD,
-        n_cells=None,  # derived: max(4, isqrt(N))
+        n_cells=max(4, math.isqrt(n)),
         nprobe=_IVF_NPROBE,
     )
 
@@ -235,12 +243,19 @@ SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
 
 @register("ann_lsh_topk", oracle=_ANN_LSH_ORACLE)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.similarity import derive_r
+    from s1tiling_spark.sources.tables import parquet_row_count
+
+    # r = derive_r(N) with N from parquet FOOTER metadata — no count()
+    # scan at plan time (the operator's r=None path remains the
+    # fallback for non-table DataFrames)
+    n = parquet_row_count("embeddings", sf_dir)
     return ann_lsh_topk(
         load_table(spark, "embeddings", sf_dir),
         k=_K,
         query_mod=_QUERY_MOD,
         bands=_ANN_BANDS,
-        r=None,  # derived from the corpus count (derive_r)
+        r=derive_r(n),
         multiprobe=1,
     )
 

@@ -161,6 +161,46 @@ def cms_sketch_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Mergeable distinct-count sketch per (1d bucket, source): HLL-style
+# max-rank registers over doc_id (operators/sketch.py) — the mergeable
+# counterpart of census_aggs' exact n_users countDistinct, for the
+# regime where per-group distinct state is unbounded. The Spark side
+# builds registers at the 1h tier and MERGES 1h→1d inside the query
+# (element-wise max); the oracle computes registers directly at 1d —
+# equality across engines is exactly the merge==direct property of the
+# max-register sketch, verified on every register. All-integer output
+# (reg, rho), md5 hash discipline → hash-exact gate.
+def _distinct_sketch_oracle() -> str:
+    from s1tiling_spark.operators.sketch import hll_sql_parts
+
+    reg, rho = hll_sql_parts("doc_id")
+    return (
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "r AS (SELECT date_trunc('day', event_ts) AS bucket_start, source, "
+        f"  {reg} AS reg, {rho} AS rho FROM sequences) "
+        "SELECT bucket_start, source, reg, CAST(max(rho) AS INT) AS rho "
+        "FROM r GROUP BY 1, 2, 3"
+    )
+
+
+@register("distinct_sketch_1d", oracle=_distinct_sketch_oracle())
+def distinct_sketch_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.rollup import bucket_col
+    from s1tiling_spark.operators.sketch import (
+        distinct_registers_long,
+        distinct_registers_merge,
+    )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    regs_1h = distinct_registers_long(
+        seq, bucket_col(F.col("event_ts"), "1h"), F.col("doc_id")
+    )
+    return distinct_registers_merge(
+        regs_1h, F.date_trunc("day", F.col("bucket_start"))
+    ).select("bucket_start", "source", "reg", F.col("rho").cast("int").alias("rho"))
+
+
+# ---------------------------------------------------------------------
 # Gaps-and-islands (batch analog of the streaming gap detector,
 # streaming/stateful.py): contiguous runs of present 1h buckets per
 # source via the classic hour_index - row_number() group key; one row

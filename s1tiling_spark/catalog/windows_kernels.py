@@ -29,23 +29,46 @@ def _tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pass-through invariant (BASELINE.json input_hint): a calibration-style
-# pass-through must preserve token arrays EXACTLY — the analog of the
-# reference's Calibrate step leaving pixel geometry untouched
-# (`s1_to_s2.py:346-419`) under the 1e-12 golden compare. The driver's
-# canonicalizer can't sort raw array columns, so the gate compares an
-# md5 digest of the full token payload per row — content-exact (any
-# changed/reordered/dropped token changes the digest), and sortable.
+# Per-document kernel outputs — two same-grain §2.9 gates as named
+# columns of one query (driver correctness window caps at 50 entries):
+#
+# 1. Pass-through invariant (BASELINE.json input_hint): a
+#    calibration-style pass-through must preserve token arrays EXACTLY —
+#    the analog of the reference's Calibrate step leaving pixel geometry
+#    untouched (`s1_to_s2.py:346-419`) under the 1e-12 golden compare.
+#    The driver's canonicalizer can't sort raw array columns, so the
+#    gate compares an md5 digest of the full token payload per row —
+#    content-exact (any changed/reordered/dropped token changes the
+#    digest), and sortable → ``tokens_digest``.
+# 2. Ground + satellite XYZ derived-feature kernel
+#    (`ComputeGroundAndSatPositionsOnDEM` / SARDEMProjection2,
+#    `/root/reference/s1tiling/libs/otbwrappers/lia.py:402-606`): each
+#    row derives a unit "ground vector" and a shifted "satellite
+#    vector" from its scalar columns; the LIA-cosine analog is their
+#    normalized dot product — all IEEE-exact +,*,/ and sqrt →
+#    ``gx``, ``gy``, ``gz``, ``cos_lia``.
 @register(
     "passthrough_tokens",
     oracle=(
-        f"WITH {SEQUENCES_ORACLE_CTE} "
+        f"WITH {SEQUENCES_ORACLE_CTE}, "
+        "b AS (SELECT doc_id, tokens, n_tok, source, "
+        "  CAST(n_tok AS DOUBLE) AS nt, "
+        "  CAST(CAST(doc_id AS BIGINT) % 1000 AS DOUBLE) AS d FROM sequences), "
+        "g AS (SELECT *, sqrt(nt*nt + d*d + 1.0) AS r, "
+        "  sqrt((nt+100.0)*(nt+100.0) + d*d + 1.0) AS rs FROM b) "
         "SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_digest, "
-        "n_tok, source FROM sequences"
+        "n_tok, source, "
+        "nt / r AS gx, d / r AS gy, 1.0 / r AS gz, "
+        "((nt*(nt+100.0) + d*d + 1.0) / (r * rs)) AS cos_lia "
+        "FROM g"
     ),
 )
 def passthrough_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = sequences_from_documents(spark, sf_dir)
+    nt = F.col("n_tok").cast("double")
+    d = (F.col("doc_id").cast("long") % 1000).cast("double")
+    r = F.sqrt(nt * nt + d * d + F.lit(1.0))
+    rs = F.sqrt((nt + 100.0) * (nt + 100.0) + d * d + F.lit(1.0))
     # a no-op normalization pass: filter+select chain that must not
     # touch the payload
     return (
@@ -59,6 +82,10 @@ def passthrough_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_tok",
             "source",
+            (nt / r).alias("gx"),
+            (d / r).alias("gy"),
+            (F.lit(1.0) / r).alias("gz"),
+            ((nt * (nt + 100.0) + d * d + 1.0) / (r * rs)).alias("cos_lia"),
         )
     )
 

@@ -14,9 +14,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_PRUNE_AT = 64  # bound registry growth in long-lived sessions
+
+
+def _prune() -> None:
+    """Drop entries that are no longer cached (a caller used
+    spark.catalog.clearCache() instead of release_cached()) so the
+    registry — and the plan objects it pins — stays bounded."""
+    live = []
+    for df in _TRACKED:
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                live.append(df)
+        except Exception:
+            pass
+    _TRACKED[:] = live
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
+    if len(_TRACKED) >= _PRUNE_AT:
+        _prune()
     df = df.persist()
     _TRACKED.append(df)
     return df

@@ -29,7 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TIERS = ("1h", "1d", "30d")
@@ -108,23 +108,35 @@ def token_hist_long(seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS) -> Dat
     (timestamp, string, int) key per exploded token costs ~100s; an int
     key costs ~7s. So the group key is dictionary-encoded first — the
     distinct (bucket, source) pairs (O(thousands), read via a pruned
-    2-column scan) get a dense gid, broadcast-joined onto the rows
-    BEFORE the explode; the per-token aggregate then hashes (gid:int,
+    2-column scan) get an integer gid, broadcast-joined onto the rows
+    BEFORE the explode; the per-token aggregate then hashes (gid:long,
     bin:int) only, and the gid is joined back after the aggregate on
     O(groups) rows. Same trick a columnar engine's dictionary encoding
-    performs, expressed in the plan."""
+    performs, expressed in the plan.
+
+    The gid is the repo-standard 60-bit md5 of the group key — a pure
+    per-row projection. (A dense row_number() gid needs a GLOBAL window
+    — one single-partition stage + "No Partition Defined" warning per
+    run; collision odds at the O(groups) cardinality that already makes
+    the broadcast legal are ≤ n²/2⁶¹, vanishing.)"""
     width = VOCAB // n_bins
     pre = seq.select(
         bucket_col(F.col("event_ts"), tier).alias("bucket_start"),
         "source",
         "tokens",
     )
+    from s1tiling_spark.operators.dedup import md5_long
+
     keys = (
         pre.select("bucket_start", "source")
         .distinct()
         .withColumn(
             "gid",
-            F.row_number().over(Window.orderBy("bucket_start", "source")),
+            md5_long(
+                F.concat_ws(
+                    "|", F.col("bucket_start").cast("string"), F.col("source")
+                )
+            ),
         )
     )
     hist = (

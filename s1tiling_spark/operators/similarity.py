@@ -341,111 +341,152 @@ def _pair_dots_arrow(pairs_vecs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs_blocked(emb: DataFrame, tau: float = 0.97) -> DataFrame:
-    """Exact all-pairs near-dup via a broadcast-matrix block kernel —
-    the fast form of the O(N²) baseline (same results as
-    :func:`near_dup_pairs`, bit-for-bit).
+N_MATMUL_BLOCKS = 16  # hash blocks for the distributed block matmul
+# per-block ceiling: MAX_BLOCKED_ROWS spread over the blocks with 4×
+# slack for hash imbalance — turns runaway O(N²) work into an
+# actionable error instead of a silent multi-hour job
+_BLOCK_CAP = (MAX_BLOCKED_ROWS // N_MATMUL_BLOCKS) * 4
 
-    The corpus's quantized matrix (N × dim int64) is broadcast to every
-    task; each Arrow batch of rows computes one integer block matmul
-    ``B @ Mᵀ`` and emits pairs over the threshold. Work is still O(N²)
-    MACs — this is for the exact-baseline regime (documented ≤ ~10⁵
-    vectors, where the broadcast is ≤ ~100 MB); beyond that use
-    :func:`near_dup_pairs_lsh`. Versus the DataFrame theta-join the
-    win is executing the N² inner loop as one numpy matmul per block
-    instead of interpreted per-element lambda folds (measured 20-40×
-    on 2k vectors).
 
-    NOTE the corpus collect is EAGER (runs at DataFrame-construction
-    time; the Spark API gives no hook to defer a driver-side collect
-    behind the returned plan's first action) — plan-only consumers pay
-    it too. The cap turns a silent driver OOM at scale into an
-    actionable error, and the single tracked broadcast is releasable
-    via :func:`release_cached`.
-
-    Quantization happens in Spark (`_prepared`) on BOTH the broadcast
-    side and the row side, so the integers — and therefore the results
-    — are identical to the join formulation (numpy's round-half-even
-    never runs)."""
+def _pack_blocks(prep: DataFrame, n_blocks: int) -> DataFrame:
+    """Pack each hash block of the prepared corpus into ONE row of
+    serialized int64 numpy buffers (ids, matrix, norms) — the unit of
+    the distributed block matmul."""
     import numpy as np
     import pandas as pd
 
-    prep = _prepared(emb)
-    # exact-baseline path: the corpus must fit the driver.
-    rows = prep.limit(MAX_BLOCKED_ROWS + 1).collect()
-    if len(rows) > MAX_BLOCKED_ROWS:
-        raise ValueError(
-            f"near_dup_pairs_blocked is the exact small-scale baseline "
-            f"(<= {MAX_BLOCKED_ROWS} vectors); use near_dup_pairs_lsh "
-            "for large corpora"
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > _BLOCK_CAP:
+            raise ValueError(
+                f"near_dup_pairs_blocked is the exact O(N²) baseline "
+                f"(≈ {MAX_BLOCKED_ROWS} vectors); block of {n} rows "
+                f"exceeds the {_BLOCK_CAP}-row block cap — use "
+                "near_dup_pairs_lsh for large corpora"
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["qv"]), dtype=np.int64)
+        nrms = pdf["nrm"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "n": [n],
+                "dim": [int(mat.shape[1]) if n else 0],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+                "nrms": [nrms.tobytes()],
+            }
         )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
-    nrms = np.array([r["nrm"] for r in rows], dtype=np.int64)
-    sc = emb.sparkSession.sparkContext
-    # ONE broadcast (ids/matrix/norms packed) instead of three, tracked
-    # for release — repeated calls no longer accumulate broadcast blocks
-    # (callers: release via release_cached / SparkContext GC).
-    b_corpus = sc.broadcast((ids, mat, nrms))
-    _BROADCASTS.append(b_corpus)
+
+    return (
+        prep.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .applyInPandas(
+            pack, "blk int, n long, dim int, ids binary, mat binary, nrms binary"
+        )
+    )
+
+
+def near_dup_pairs_blocked(
+    emb: DataFrame, tau: float = 0.97, n_blocks: int = N_MATMUL_BLOCKS
+) -> DataFrame:
+    """Exact all-pairs near-dup via a DISTRIBUTED block matmul — the
+    fast form of the O(N²) baseline (same results as
+    :func:`near_dup_pairs`, bit-for-bit).
+
+    Fully lazy: no driver collect, no broadcast variable, zero jobs at
+    construction (plan-only consumers are free). The corpus is hashed
+    into ``n_blocks`` packed-matrix rows (one applyInPandas group
+    each); every unordered block pair (i ≤ j) becomes one kernel task
+    via a broadcast loop join over the n_blocks-row packed relation —
+    n_blocks² tiny METADATA rows, the classic distributed block-matmul
+    shape, NOT a row-level loop join. Each task runs one exact int64
+    matmul A @ Bᵀ and emits pairs over the threshold in both id
+    orders, so every (id_a < id_b) pair appears exactly once. Work is
+    O(N²/2) MACs total — half the broadcast-corpus formulation, memory
+    per task = two blocks.
+
+    Still the exact-baseline regime (documented ≈ ≤ 10⁵ vectors);
+    beyond that use :func:`near_dup_pairs_lsh`. The per-block row cap
+    turns runaway quadratic work into an actionable task error (raised
+    at action time, the lazy analog of the old construction-time cap).
+
+    Quantization happens in Spark (`_prepared`) on BOTH sides, so the
+    integers — and therefore the results — are identical to the join
+    formulation (numpy's round-half-even never runs); the float
+    discipline (int64 product first, ONE double conversion) matches
+    Spark/DuckDB ``CAST(na*nb AS DOUBLE)`` exactly."""
+    import numpy as np
+    import pandas as pd
+
+    packed = _pack_blocks(_prepared(emb), n_blocks)
+    a = packed.select(*[F.col(c).alias(f"a_{c}") for c in packed.columns])
+    b = packed.select(*[F.col(c).alias(f"b_{c}") for c in packed.columns])
+    joined = a.join(F.broadcast(b), F.col("a_blk") <= F.col("b_blk"))
     t2 = tau * tau
 
-    def kernel(batches):
-        all_ids, all_mat, all_nrms = b_corpus.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            blk_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            blk = np.array(list(pdf["qv"]), dtype=np.int64)
-            blk_nrm = pdf["nrm"].to_numpy(dtype=np.int64)
-            dots = blk @ all_mat.T  # exact int64 dots
-            # int64 multiply FIRST, float64 convert after — the product
-            # can exceed 2^53, and Spark/DuckDB compute
-            # CAST(na*nb AS DOUBLE) (integer product, then one rounding),
-            # so converting the factors first would round differently
-            prod = (blk_nrm[:, None] * all_nrms[None, :]).astype(np.float64)
-            mask = (
-                (blk_ids[:, None] < all_ids[None, :])
-                & (dots > 0)
-                & (dots.astype(np.float64) ** 2 >= t2 * prod)
-            )
-            ai, bi = np.nonzero(mask)
-            if len(ai) == 0:
-                continue
-            d = dots[ai, bi]
-            yield pd.DataFrame(
-                {
-                    "id_a": blk_ids[ai],
-                    "id_b": all_ids[bi],
-                    "dot": d,
-                    "na": blk_nrm[ai],
-                    "nb": all_nrms[bi],
-                }
-            )
+    def _unpack(ids_b: bytes, mat_b: bytes, nrms_b: bytes, n: int, dim: int):
+        ids = np.frombuffer(ids_b, dtype=np.int64)
+        mat = np.frombuffer(mat_b, dtype=np.int64).reshape(n, dim)
+        nrms = np.frombuffer(nrms_b, dtype=np.int64)
+        return ids, mat, nrms
 
-    pairs = prep.mapInPandas(
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.a_n == 0 or row.b_n == 0:
+                    continue
+                ids_a, mat_a, nrm_a = _unpack(
+                    row.a_ids, row.a_mat, row.a_nrms, row.a_n, row.a_dim
+                )
+                ids_b, mat_b, nrm_b = _unpack(
+                    row.b_ids, row.b_mat, row.b_nrms, row.b_n, row.b_dim
+                )
+                dots = mat_a @ mat_b.T  # exact int64 dots
+                # int64 multiply FIRST, float64 convert after — the
+                # product can exceed 2^53, and Spark/DuckDB compute
+                # CAST(na*nb AS DOUBLE) (integer product, then one
+                # rounding), so converting the factors first would
+                # round differently
+                prod = (nrm_a[:, None] * nrm_b[None, :]).astype(np.float64)
+                cond = (dots > 0) & (dots.astype(np.float64) ** 2 >= t2 * prod)
+                m1 = (ids_a[:, None] < ids_b[None, :]) & cond
+                ai, bi = np.nonzero(m1)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_a[ai],
+                            "id_b": ids_b[bi],
+                            "dot": dots[ai, bi],
+                            "na": nrm_a[ai],
+                            "nb": nrm_b[bi],
+                        }
+                    )
+                if row.a_blk != row.b_blk:
+                    # pairs whose smaller id sits in block B
+                    m2 = (ids_b[None, :] < ids_a[:, None]) & cond
+                    ai2, bi2 = np.nonzero(m2)
+                    if len(ai2):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ids_b[bi2],
+                                "id_b": ids_a[ai2],
+                                "dot": dots[ai2, bi2],
+                                "na": nrm_b[bi2],
+                                "nb": nrm_a[ai2],
+                            }
+                        )
+
+    pairs = joined.mapInPandas(
         kernel, "id_a long, id_b long, dot long, na long, nb long"
     )
     return _cos_filter(pairs, tau)
 
 
-_BROADCASTS: list = []
-
-
-def _release_broadcasts() -> None:
-    while _BROADCASTS:
-        try:
-            _BROADCASTS.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-
-
 def release_cached() -> None:
     """Unpersist every tracked relation (all operator modules share one
-    registry) AND destroy every corpus broadcast this module created
-    (library callers' cleanup hook; idempotent)."""
+    registry) — library callers' cleanup hook; idempotent."""
     _release_tracked()
-    _release_broadcasts()
 
 
 def _ivf_hash(vec_id: Column) -> Column:
@@ -667,16 +708,34 @@ def ann_lsh_candidates(
 ) -> DataFrame:
     """Candidate (q_id, vec_id) pairs for :func:`ann_lsh_topk` —
     exposed so tests can measure the candidate FRACTION independently
-    of the re-rank."""
+    of the re-rank. Each query probes every band key at Hamming
+    distance ≤ ``multiprobe``: all Σ_{d≤multiprobe} C(r,d) bit-flip
+    masks are enumerated at plan time (multiprobe=1 → the classic r
+    single-bit flips; capped at 3 — beyond that the probe count
+    approaches the key space and brute force wins)."""
+    import itertools
+
+    if multiprobe > 3:
+        raise ValueError(
+            f"multiprobe={multiprobe} > 3: C({r},{multiprobe}) probes per "
+            "key approaches the key space — use a wider target_bucket "
+            "or the brute-force baseline instead"
+        )
     # persisted: both the corpus side and the query-probe side consume it
     banded = _persist(srp_banded_arrow(prep, bands, r))
     qb = banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("q_id"), "band", "key"
     )
-    if multiprobe:
+    masks = [0]
+    for d in range(1, multiprobe + 1):
+        for combo in itertools.combinations(range(r), d):
+            m = 0
+            for j in combo:
+                m |= 1 << j
+            masks.append(m)
+    if len(masks) > 1:
         probe_keys = F.array(
-            F.col("key"),
-            *[F.col("key").bitwiseXOR(F.lit(1 << j)).cast("long") for j in range(r)],
+            *[F.col("key").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
         )
     else:
         probe_keys = F.array(F.col("key"))

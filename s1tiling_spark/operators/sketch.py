@@ -167,6 +167,102 @@ def quantile_sketch_merge(lower: DataFrame, bucket: Column) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Mergeable distinct-count sketch: HLL-style max-rank registers.
+#
+# census_aggs' n_users is an exact countDistinct — correct while
+# per-group distinct state is bounded, but a 1h→1d→30d cascade over
+# unbounded key cardinality needs a MERGEABLE partial (exact distinct
+# does not re-aggregate: distinct-of-distincts ≠ distinct). The classic
+# answer is HyperLogLog (Flajolet et al. 2007): hash each key, use the
+# low bits as a register index and the position of the first 1-bit in
+# the remaining bits as the register rank; the register vector is the
+# sketch and MERGE = element-wise max — associative, idempotent (the
+# property exact counts lack), O(m) state per group at any cardinality.
+#
+# Hash discipline: the repo-standard 60-bit md5 (dedup.md5_long), so
+# registers are bit-identical in Spark and DuckDB (the gated query
+# compares the merged register vectors themselves, all integers) and at
+# any parallelism. Long form (bucket_start, source, reg, rho) makes the
+# merge a groupBy-max — the same cascade shape as every other sketch in
+# this module. Spark's own approx_count_distinct partials implement the
+# same idea JVM-side but aren't reconstructable in the oracle engine,
+# hence the explicit formulation.
+
+HLL_M = 64  # registers per group (2^6); rel. error ≈ 1.04/√64 ≈ 13 %
+_HLL_ALPHA = 0.709  # bias constant for m = 64
+_HLL_QBITS = 54  # 60-bit hash minus 6 register-index bits
+
+
+def _hll_hash(key: Column) -> Column:
+    return md5_long(F.concat(F.lit("dct:"), key.cast("string")))
+
+
+def distinct_registers_long(
+    rows: DataFrame, bucket: Column, key: Column, m: int = HLL_M
+) -> DataFrame:
+    """Key stream → long-form HLL registers per (bucket, source): one
+    row per non-empty register, ``rho`` = max first-1-bit position of
+    the 54-bit hash remainder (1..55; 55 = remainder is all zeros)."""
+    h = _hll_hash(key)
+    q = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(q == 0, F.lit(_HLL_QBITS + 1)).otherwise(
+        F.lit(_HLL_QBITS + 1) - F.length(F.bin(q))
+    )
+    return (
+        rows.select(
+            bucket.alias("bucket_start"),
+            "source",
+            F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket_start", "source", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def distinct_registers_merge(lower: DataFrame, bucket: Column) -> DataFrame:
+    """Cascade registers to a coarser tier: element-wise MAX (the HLL
+    merge — associative and idempotent, so late-data re-MERGE is safe)."""
+    return lower.groupBy(bucket.alias("bucket_start"), "source", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_sql_parts(key_expr: str, m: int = HLL_M) -> tuple[str, str]:
+    """DuckDB (reg, rho) expressions mirroring
+    :func:`distinct_registers_long` — same md5 hash formula, same
+    bit-length trick (both engines' ``bin()`` render minimal binary)."""
+    h = MD5_LONG_SQL.format(expr=f"'dct:' || CAST({key_expr} AS VARCHAR)")
+    reg = f"CAST(({h}) % {m} AS INT)"
+    q = f"(({h}) // {m})"
+    rho = (
+        f"CAST(CASE WHEN {q} = 0 THEN {_HLL_QBITS + 1} "
+        f"ELSE {_HLL_QBITS + 1} - length(bin({q})) END AS INT)"
+    )
+    return reg, rho
+
+
+def distinct_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """HLL cardinality estimate per (bucket_start, source) from a
+    long-form register relation: E = α·m²/Σ2^(−M_j) (absent registers
+    contribute 2⁰ = 1), with the standard small-range linear-counting
+    correction E ≤ 2.5m ∧ V>0 → m·ln(m/V). Doubles with ln → test/report
+    surface, not oracle-compared (the gated query compares registers)."""
+    g = registers.groupBy("bucket_start", "source").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("rho"))).alias("present_inv"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    inv_sum = F.col("present_inv") + zeros.cast("double")
+    raw = F.lit(_HLL_ALPHA * m * m) / inv_sum
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return g.select("bucket_start", "source", est.alias("est_distinct"))
+
+
 def sketch_quantiles(
     sketch: DataFrame,
     percents: list[tuple[int, str]],
@@ -191,8 +287,10 @@ def sketch_quantiles(
     )
     aggs = []
     for p, out in percents:
-        rank = (F.lit(p) * F.col("total") + F.lit(100 - 1)) / F.lit(100)
-        rank = F.floor(rank)  # (p*N + 99) // 100 == ceil(p*N/100)
+        # (p*N + 99) div 100 == ceil(p*N/100) — true INTEGRAL division
+        # (`div`), never a double divide+floor, so the rank is exact at
+        # any N on both engines
+        rank = F.expr(f"({int(p)} * total + {100 - 1}) div 100")
         aggs.append(
             F.min(
                 F.when(F.col("cum") >= rank, (F.col("qbin") + 1) * width)

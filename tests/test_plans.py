@@ -24,9 +24,11 @@ SANCTIONED_LOOP_JOINS = {
     "ann_brute_topk",  # broadcast query side over corpus — stated baseline
     "coverage_join",  # interval theta-join, broadcast small side by design
     "ann_ivf_topk",  # broadcast √N-row codebook × corpus: the O(N·C) assignment pass
+    # blk<=blk loop join over the N_MATMUL_BLOCKS-row PACKED-BLOCK
+    # relation (16×16 metadata rows — the distributed block-matmul
+    # shape), not a row-level loop join
+    "embedding_near_dup_exact",
 }
-# (embedding_near_dup_exact left the list: its O(N²) now runs inside a
-# broadcast-matrix numpy kernel — no join node at all)
 
 POSITIVE_SHAPES = {
     "filter_union_slices": ["PushedFilters"],

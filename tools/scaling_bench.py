@@ -35,6 +35,11 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
+from pyspark.sql.functions import sum as F_sum  # noqa: E402
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARKER = "## Measured results (sandbox scaling evidence)"
 
@@ -57,6 +62,140 @@ def run_level(cpus: int, rows: int, mode: str = "cascade") -> dict:
     return json.loads(line)
 
 
+def run_skew(rows: int, cpus: int = 8) -> dict:
+    """Skew evidence (VERDICT r3 Next #4): a zipf-hot source (80 % of
+    rows in one source) through (a) the tier cascade — skew-neutral by
+    map-side partial aggregation, shown by comparing against a uniform
+    source mix on identical row count; (b) the grouped-map compress
+    path — where one (source, block) group is one Python worker call,
+    WITH vs WITHOUT salting; (c) a forced sort-merge join on the hot
+    key with AQE skew-join ON vs OFF, capturing the skew=true split in
+    the final adaptive plan. Writes SKEW_BENCH.json + a PERF.md section."""
+    import io
+    import time
+    from contextlib import redirect_stdout
+
+    from s1tiling_spark.operators.compress import compress_blocks
+    from s1tiling_spark.operators.rollup import rollup_from_lower, rollup_sequences
+    from s1tiling_spark.session import build_session
+    from s1tiling_spark.sources.synth import synth_sequences
+
+    spark = build_session(
+        master=f"local[{cpus}]", app_name="skew-bench", shuffle_partitions=32
+    )
+    base = "/tmp/s1tiling_skew_bench"
+    inputs = {}
+    for tag, hot in (("hot80", 80), ("uniform", 12)):
+        path = f"{base}/seq_{tag}_{rows}.parquet"
+        if not os.path.isdir(path):
+            synth_sequences(
+                spark, rows, with_tokens=False, hot_pct=hot
+            ).write.mode("overwrite").parquet(path)
+        inputs[tag] = path
+
+    def timed(df) -> tuple[float, int]:
+        t0 = time.time()
+        n = df.count()
+        return round(time.time() - t0, 2), n
+
+    out: dict = {"rows": rows, "cpus": cpus, "hot_pct": 80}
+
+    # (a) cascade skew-neutrality: identical work, hot vs uniform mix
+    for tag, path in inputs.items():
+        df = spark.read.parquet(path)
+        t, _ = timed(rollup_from_lower(rollup_sequences(df, "1h"), "1d"))
+        out[f"cascade_sec_{tag}"] = t
+    out["cascade_hot_over_uniform"] = round(
+        out["cascade_sec_hot80"] / out["cascade_sec_uniform"], 2
+    )
+
+    # (b) grouped-map compress at EVENT grain: the hot (source, 30d
+    # block) group holds ~40 % of all rows — one Python worker call —
+    # unless salted. (The production blocks_1h path compresses the 1h
+    # tier, whose groups are bounded by bucket count; event grain is
+    # the adversarial shape the salt exists for.)
+    ev = (
+        spark.read.parquet(inputs["hot80"])
+        .select(
+            F_col("event_ts").alias("bucket_start"), "source",
+            F_col("n_tok").alias("v"),
+        )
+    )
+    for n_salts in (1, 8):
+        t, nblocks = timed(compress_blocks(ev, "v", block_tier="30d", n_salts=n_salts))
+        out[f"compress_sec_salt{n_salts}"] = t
+        out[f"compress_blocks_salt{n_salts}"] = nblocks
+    out["compress_salt_speedup"] = round(
+        out["compress_sec_salt1"] / out["compress_sec_salt8"], 2
+    )
+
+    # (c) AQE skew join: force SMJ on the hot key, toggle skew-split.
+    # Thresholds lowered so the sandbox-sized partitions qualify; on a
+    # real cluster the 256 MB defaults do the same thing.
+    fact = spark.read.parquet(inputs["hot80"])
+    dim = fact.groupBy("source").agg(F_sum("n_tok").alias("src_total"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        for toggle in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", toggle)
+            j = fact.join(dim, "source").select(
+                (F_col("n_tok") + F_col("src_total")).alias("x")
+            )
+            t, _ = timed(j)
+            out[f"skewjoin_sec_aqe_{toggle}"] = t
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")  # post-action → final adaptive plan
+            out[f"skewjoin_plan_has_split_aqe_{toggle}"] = "skew=true" in buf.getvalue()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return out
+
+
+def _write_skew_outputs(out: dict) -> None:
+    with open(os.path.join(REPO, "SKEW_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    marker = "## 14. Skew evidence: zipf-hot source, measured (round 4)"
+    with open(os.path.join(REPO, "PERF.md")) as f:
+        content = f.read()
+    if marker in content:
+        content = content[: content.index(marker)].rstrip() + "\n"
+    section = f"""
+{marker}
+
+`python tools/scaling_bench.py --mode skew` ({out['rows']:,} rows,
+hot source = {out['hot_pct']} % of rows, local[{out['cpus']}]):
+
+- **Tier cascade is skew-neutral** (map-side partial aggregation
+  collapses the hot source before the shuffle): 1h→1d cascade takes
+  {out['cascade_sec_hot80']} s on the 80 %-hot mix vs
+  {out['cascade_sec_uniform']} s on a uniform mix —
+  {out['cascade_hot_over_uniform']}× (≈1 = neutral).
+- **Grouped-map compress NEEDS the salt**: at event grain the hot
+  (source, 30d-block) group is one Python worker call;
+  n_salts=1 → {out['compress_sec_salt1']} s
+  ({out['compress_blocks_salt1']} blocks),
+  n_salts=8 → {out['compress_sec_salt8']} s
+  ({out['compress_blocks_salt8']} blocks):
+  **{out['compress_salt_speedup']}× speedup** from
+  `plans/tiers.salt_col` sub-splitting (`operators/compress.py`).
+- **AQE skew-join splits the hot partition**: forced sort-merge join
+  on `source`, skewJoin OFF {out['skewjoin_sec_aqe_false']} s
+  (skew split in final plan: {out['skewjoin_plan_has_split_aqe_false']})
+  vs ON {out['skewjoin_sec_aqe_true']} s (skew split:
+  {out['skewjoin_plan_has_split_aqe_true']}) — the `skew=true`
+  marker on the SortMergeJoin confirms OptimizeSkewedJoin fired;
+  thresholds were lowered to sandbox partition sizes (256 MB defaults
+  play the same role on a real cluster).
+"""
+    with open(os.path.join(REPO, "PERF.md"), "w") as f:
+        f.write(content + section)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000")))
@@ -64,11 +203,18 @@ def main() -> None:
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8),
                     metavar=("N", "N4"),
                     help="thread counts for the N and 4N runs")
-    ap.add_argument("--mode", choices=("cascade", "compute"), default="cascade",
+    ap.add_argument("--mode", choices=("cascade", "compute", "skew"), default="cascade",
                     help="cascade = full flagship incl. parquet token scan; "
                          "compute = CPU-bound stats cascade (no I/O), isolates "
-                         "engine scaling from the host's non-scaling decode path")
+                         "engine scaling from the host's non-scaling decode path; "
+                         "skew = zipf-hot source through cascade + grouped-map "
+                         "compress (with/without salting) + AQE skew join")
     args = ap.parse_args()
+    if args.mode == "skew":
+        out = run_skew(args.rows if args.rows != 600000 else 3_000_000)
+        print(json.dumps(out))
+        _write_skew_outputs(out)
+        return
     lo, hi = args.levels
 
     # The sandbox is a shared host with bursty CPU steal (measured up to
