@@ -71,9 +71,7 @@ def run_skew(rows: int, cpus: int = 8) -> dict:
     WITH vs WITHOUT salting; (c) a forced sort-merge join on the hot
     key with AQE skew-join ON vs OFF, capturing the skew=true split in
     the final adaptive plan. Writes SKEW_BENCH.json + a PERF.md section."""
-    import io
     import time
-    from contextlib import redirect_stdout
 
     from s1tiling_spark.operators.compress import compress_blocks
     from s1tiling_spark.operators.rollup import rollup_from_lower, rollup_sequences
@@ -100,11 +98,17 @@ def run_skew(rows: int, cpus: int = 8) -> dict:
 
     out: dict = {"rows": rows, "cpus": cpus, "hot_pct": 80}
 
-    # (a) cascade skew-neutrality: identical work, hot vs uniform mix
-    for tag, path in inputs.items():
-        df = spark.read.parquet(path)
-        t, _ = timed(rollup_from_lower(rollup_sequences(df, "1h"), "1d"))
-        out[f"cascade_sec_{tag}"] = t
+    # (a) cascade skew-neutrality: identical work, hot vs uniform mix.
+    # Interleaved best-of-2 (first-touch JIT/file-listing warmup would
+    # otherwise bias whichever variant runs first).
+    cas: dict[str, float] = {}
+    for _ in range(2):
+        for tag, path in inputs.items():
+            df = spark.read.parquet(path)
+            t, _ = timed(rollup_from_lower(rollup_sequences(df, "1h"), "1d"))
+            cas[tag] = min(cas.get(tag, 1e9), t)
+    out["cascade_sec_hot80"] = cas["hot80"]
+    out["cascade_sec_uniform"] = cas["uniform"]
     out["cascade_hot_over_uniform"] = round(
         out["cascade_sec_hot80"] / out["cascade_sec_uniform"], 2
     )
@@ -130,10 +134,20 @@ def run_skew(rows: int, cpus: int = 8) -> dict:
     )
 
     # (c) AQE skew join: force SMJ on the hot key, toggle skew-split.
-    # Thresholds lowered so the sandbox-sized partitions qualify; on a
-    # real cluster the 256 MB defaults do the same thing.
+    # The dim side must be a MATERIALIZED table: OptimizeSkewedJoin
+    # pattern-matches Sort directly over a shuffle stage, so an
+    # aggregate feeding the join defeats it (a HashAggregate sits
+    # between the stage and the Sort) — measured here, worth knowing
+    # on a real cluster too. Thresholds lowered so the sandbox-sized
+    # compressed partitions qualify; the 256 MB defaults play the same
+    # role at cluster scale.
+    dim_path = f"{base}/dim_{rows}.parquet"
     fact = spark.read.parquet(inputs["hot80"])
-    dim = fact.groupBy("source").agg(F_sum("n_tok").alias("src_total"))
+    if not os.path.isdir(dim_path):
+        fact.groupBy("source").agg(F_sum("n_tok").alias("src_total")).write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
@@ -141,15 +155,17 @@ def run_skew(rows: int, cpus: int = 8) -> dict:
     try:
         for toggle in ("false", "true"):
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", toggle)
-            j = fact.join(dim, "source").select(
-                (F_col("n_tok") + F_col("src_total")).alias("x")
+            # the agg IS the action (collect drives this exact plan, so
+            # the executed AdaptiveSparkPlan belongs to the inspected df)
+            j = (
+                fact.join(dim, "source")
+                .agg(F_sum(F_col("n_tok") + F_col("src_total")).alias("s"))
             )
-            t, _ = timed(j)
-            out[f"skewjoin_sec_aqe_{toggle}"] = t
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                j.explain("formatted")  # post-action → final adaptive plan
-            out[f"skewjoin_plan_has_split_aqe_{toggle}"] = "skew=true" in buf.getvalue()
+            t0 = time.time()
+            j.collect()
+            out[f"skewjoin_sec_aqe_{toggle}"] = round(time.time() - t0, 2)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            out[f"skewjoin_plan_has_split_aqe_{toggle}"] = "skew=true" in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
