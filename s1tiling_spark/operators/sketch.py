@@ -198,23 +198,31 @@ def _hll_hash(key: Column) -> Column:
     return md5_long(F.concat(F.lit("dct:"), key.cast("string")))
 
 
+def hll_reg_rho(key: Column, m: int = HLL_M) -> tuple[Column, Column]:
+    """(register index, first-1-bit rank) column pair for ``key`` —
+    shared by the batch builder and the streaming variant
+    (streaming/rollup_stream.streaming_distinct_sketch_1h)."""
+    h = _hll_hash(key)
+    q = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(q == 0, F.lit(_HLL_QBITS + 1)).otherwise(
+        F.lit(_HLL_QBITS + 1) - F.length(F.bin(q))
+    )
+    return F.pmod(h, F.lit(m)).cast("int"), rho.cast("int")
+
+
 def distinct_registers_long(
     rows: DataFrame, bucket: Column, key: Column, m: int = HLL_M
 ) -> DataFrame:
     """Key stream → long-form HLL registers per (bucket, source): one
     row per non-empty register, ``rho`` = max first-1-bit position of
     the 54-bit hash remainder (1..55; 55 = remainder is all zeros)."""
-    h = _hll_hash(key)
-    q = F.floor(h / F.lit(m)).cast("long")
-    rho = F.when(q == 0, F.lit(_HLL_QBITS + 1)).otherwise(
-        F.lit(_HLL_QBITS + 1) - F.length(F.bin(q))
-    )
+    reg, rho = hll_reg_rho(key, m)
     return (
         rows.select(
             bucket.alias("bucket_start"),
             "source",
-            F.pmod(h, F.lit(m)).cast("int").alias("reg"),
-            rho.cast("int").alias("rho"),
+            reg.alias("reg"),
+            rho.alias("rho"),
         )
         .groupBy("bucket_start", "source", "reg")
         .agg(F.max("rho").alias("rho"))

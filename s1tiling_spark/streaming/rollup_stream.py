@@ -133,6 +133,35 @@ def streaming_quantile_sketch_1h(
     )
 
 
+def streaming_distinct_sketch_1h(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+    m: int | None = None,
+) -> DataFrame:
+    """Streaming 1h distinct-count sketch: HLL-style max-rank registers
+    (operators/sketch.distinct_registers_long) as a watermarked window
+    MAX aggregate on (window, source, reg). The register merge is max —
+    associative AND idempotent — so replayed or overlapping deliveries
+    converge to the batch-built registers exactly (the property exact
+    countDistinct lacks: distinct state would be unbounded per group;
+    register state is ≤ m rows per (window, source))."""
+    from s1tiling_spark.operators.sketch import HLL_M, hll_reg_rho
+
+    m = m or HLL_M
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    reg, rho = hll_reg_rho(F.col("doc_id"), m)
+    keyed = stream.select(
+        "event_ts", "source", reg.alias("reg"), rho.alias("rho")
+    )
+    return (
+        keyed.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "source", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("win.start").alias("bucket_start"), "source", "reg", "rho")
+    )
+
+
 def run_stream_into_store(
     spark: SparkSession,
     landing_dir: str,
