@@ -708,11 +708,26 @@ def ann_lsh_candidates(
 ) -> DataFrame:
     """Candidate (q_id, vec_id) pairs for :func:`ann_lsh_topk` —
     exposed so tests can measure the candidate FRACTION independently
-    of the re-rank. Each query probes every band key at Hamming
-    distance ≤ ``multiprobe``: all Σ_{d≤multiprobe} C(r,d) bit-flip
-    masks are enumerated at plan time (multiprobe=1 → the classic r
-    single-bit flips; capped at 3 — beyond that the probe count
-    approaches the key space and brute force wins)."""
+    of the re-rank."""
+    # persisted: both the corpus side and the query-probe side consume it
+    banded = _persist(srp_banded_arrow(prep, bands, r))
+    return lsh_candidates_from_banded(banded, query_mod, r, multiprobe)
+
+
+def lsh_candidates_from_banded(
+    banded: DataFrame,
+    query_mod: int,
+    r: int,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Candidates from an EXISTING (vec_id, band, key) banded relation —
+    shared by the fresh-compute path above and the persistent index
+    (plans/vector_index.py), which serves the relation from storage.
+    Each query probes every band key at Hamming distance ≤
+    ``multiprobe``: all Σ_{d≤multiprobe} C(r,d) bit-flip masks are
+    enumerated at plan time (multiprobe=1 → the classic r single-bit
+    flips; capped at 3 — beyond that the probe count approaches the
+    key space and brute force wins)."""
     import itertools
 
     if multiprobe > 3:
@@ -721,8 +736,6 @@ def ann_lsh_candidates(
             "key approaches the key space — use a wider target_bucket "
             "or the brute-force baseline instead"
         )
-    # persisted: both the corpus side and the query-probe side consume it
-    banded = _persist(srp_banded_arrow(prep, bands, r))
     qb = banded.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("q_id"), "band", "key"
     )

@@ -1,0 +1,182 @@
+"""Persistent ANN index: banded-SRP signatures as a maintained table.
+
+The batch operators in ``operators/similarity.py`` recompute band keys
+per query run — right for one-shot jobs, wasteful for a serving
+pattern where the same 10^9-vector corpus answers queries all day. The
+index is the materialized form: ``build()`` computes the banded
+signatures ONCE (one Arrow matmul pass over the corpus) and stores
+them partitioned by band with commit lineage; ``append()`` extends the
+index for newly arrived vectors WITHOUT touching existing signatures
+(incremental maintenance — the reference's restart-from-existing
+discipline, `/root/reference/s1tiling/libs/otbpipeline.py:814-819`,
+applied to index state); ``topk()`` serves queries from the stored
+signatures (band-key equi-join + multiprobe + exact re-rank) and is
+exactly equal to the freshly-computed :func:`ann_lsh_topk` result
+(pinned by tests/test_vector_index.py).
+
+Scale shape at 10^9 vectors:
+- signatures are (vec_id, band, key) longs — ~32 B/row × bands; the
+  index is ~1 % of a 1 KB-vector corpus and is the ONLY thing the
+  candidate join reads (vectors re-attach per candidate id for the
+  exact re-rank, a pruned-column equi-join);
+- partitioned by ``band`` → each band's probe join prunes to 1/bands
+  of the index at the scan;
+- append is O(new vectors), not O(corpus): the classic
+  build-once/refresh-incrementally lifecycle. ``r`` is pinned at build
+  time (band keys must be comparable), so the index records corpus
+  size and ``grown_stale()`` flags when N has outgrown the key space
+  (expected bucket > 4× target) and a rebuild would restore the
+  candidate bound.
+- MERGE semantics: re-appending a vec_id supersedes its signatures
+  (newest commit_seq wins per (vec_id, band) — dedup-on-read, same
+  discipline as plans/store.TierStore).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.similarity import (
+    ANN_TARGET_BUCKET,
+    _prepared,
+    _rerank_topk,
+    derive_r,
+    lsh_candidates_from_banded,
+    srp_banded_arrow,
+)
+
+
+class VectorIndex:
+    """Directory-backed banded-SRP signature index with incremental
+    MERGE-append maintenance."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ---------- meta ----------
+    def _meta_path(self) -> str:
+        return os.path.join(self.base_dir, "_index_meta.json")
+
+    def meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path()):
+            return None
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())  # atomic tmp→rename commit
+
+    def _sigs_path(self) -> str:
+        return os.path.join(self.base_dir, "sigs")
+
+    # ---------- lifecycle ----------
+    def build(
+        self,
+        emb: DataFrame,
+        bands: int = 4,
+        r: int | None = None,
+        n_vectors: int | None = None,
+        target_bucket: int = ANN_TARGET_BUCKET,
+    ) -> dict:
+        """Materialize the index from scratch. ``r`` derives from the
+        corpus size unless pinned; pass ``n_vectors`` (e.g. from
+        parquet footer metadata) to avoid the count() scan."""
+        prep = _prepared(emb)
+        if r is None:
+            if n_vectors is None:
+                n_vectors = prep.count()
+            r = derive_r(n_vectors, target_bucket)
+        elif n_vectors is None:
+            n_vectors = prep.count()
+        sigs = srp_banded_arrow(prep, bands, r).withColumn(
+            "commit_seq", F.lit(1)
+        )
+        sigs.write.mode("overwrite").partitionBy("band").parquet(self._sigs_path())
+        meta = {
+            "bands": bands,
+            "r": r,
+            "target_bucket": target_bucket,
+            "n_vectors": int(n_vectors),
+            "built_n_vectors": int(n_vectors),
+            "commit_seq": 1,
+        }
+        self._write_meta(meta)
+        return meta
+
+    def append(self, new_emb: DataFrame, n_new: int | None = None) -> dict:
+        """Extend the index for newly arrived vectors — O(new), never
+        touches existing signatures. Re-appended vec_ids supersede
+        their old signatures via commit lineage (MERGE-on-read)."""
+        meta = self.meta()
+        if meta is None:
+            raise ValueError("index not built — call build() first")
+        seq = meta["commit_seq"] + 1
+        sigs = srp_banded_arrow(
+            _prepared(new_emb), meta["bands"], meta["r"]
+        ).withColumn("commit_seq", F.lit(seq))
+        if n_new is None:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"vidx-append-{seq}")
+            sigs = sigs.observe(obs, F.count(F.lit(1)).alias("rows"))
+            sigs.write.mode("append").partitionBy("band").parquet(self._sigs_path())
+            n_new = int(obs.get["rows"]) // meta["bands"]
+        else:
+            sigs.write.mode("append").partitionBy("band").parquet(self._sigs_path())
+        meta["commit_seq"] = seq
+        meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new)
+        self._write_meta(meta)
+        return meta
+
+    def grown_stale(self) -> bool:
+        """True when the corpus has outgrown the build-time key space:
+        expected bucket occupancy n/2^r exceeds 4× the target — the
+        candidate bound has degraded and a rebuild (with the larger
+        derived r) would restore it."""
+        meta = self.meta()
+        if meta is None:
+            return False
+        return meta["n_vectors"] > 4 * meta["target_bucket"] * (1 << meta["r"])
+
+    # ---------- read / serve ----------
+    def sigs(self) -> DataFrame:
+        """Deduped signature relation: newest commit per (vec_id, band)."""
+        df = self.spark.read.option("basePath", self._sigs_path()).parquet(
+            self._sigs_path()
+        )
+        w = Window.partitionBy("vec_id", "band").orderBy(F.desc("commit_seq"))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "band", "key")
+        )
+
+    def topk(
+        self,
+        emb: DataFrame,
+        k: int = 5,
+        query_mod: int = 50,
+        multiprobe: int = 1,
+    ) -> DataFrame:
+        """Serve ANN top-k FROM THE STORED INDEX: candidates from the
+        persisted signatures (no banding recompute), exact
+        integer-cosine re-rank against ``emb`` (vectors re-attach per
+        candidate id only). Bit-identical to ann_lsh_topk on the same
+        corpus/parameters."""
+        meta = self.meta()
+        if meta is None:
+            raise ValueError("index not built — call build() first")
+        cand = lsh_candidates_from_banded(
+            self.sigs(), query_mod, meta["r"], multiprobe
+        )
+        return _rerank_topk(cand, _prepared(emb), k)

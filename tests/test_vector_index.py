@@ -1,0 +1,80 @@
+"""Persistent ANN index (plans/vector_index.py): serving from stored
+signatures must be BIT-IDENTICAL to fresh computation, and incremental
+append must converge to the full-build state — the index analog of the
+reference's restart-from-existing-products discipline
+(`/root/reference/s1tiling/libs/otbpipeline.py:814-819`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.similarity import ann_lsh_topk, derive_r
+from s1tiling_spark.plans.vector_index import VectorIndex
+from s1tiling_spark.sources.tables import load_table, parquet_row_count
+from tests.conftest import SF_DIR_ORACLE
+from tests.helpers import assert_frames_match
+
+_K = 5
+_QM = 50
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR_ORACLE).cache()
+
+
+@pytest.fixture(scope="module")
+def fresh(spark, emb):
+    n = parquet_row_count("embeddings", SF_DIR_ORACLE)
+    return ann_lsh_topk(
+        emb, k=_K, query_mod=_QM, r=derive_r(n), multiprobe=1
+    ).toPandas()
+
+
+def test_index_serving_equals_fresh_compute(spark, emb, fresh, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "vidx"))
+    meta = idx.build(emb)
+    assert meta["r"] == derive_r(meta["n_vectors"])
+    got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
+    assert_frames_match(got, fresh)
+
+
+def test_incremental_append_converges_to_full_build(spark, emb, fresh, tmp_path):
+    """Build on 80 % of the corpus, append the remaining 20 % with r
+    PINNED from build time → identical serving to the full fresh
+    computation at the same r (append is O(new), no rebuild)."""
+    n = parquet_row_count("embeddings", SF_DIR_ORACLE)
+    part = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(5))
+    idx = VectorIndex(spark, str(tmp_path / "vidx_inc"))
+    idx.build(emb.filter(part != 0), r=derive_r(n))
+    meta = idx.append(emb.filter(part == 0))
+    assert meta["commit_seq"] == 2
+    assert meta["n_vectors"] == n
+    got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
+    assert_frames_match(got, fresh)
+
+
+def test_reappend_supersedes_and_is_idempotent(spark, emb, fresh, tmp_path):
+    """Re-appending already-indexed vectors MERGEs (newest commit wins
+    per (vec_id, band)) — serving unchanged, no duplicate candidates."""
+    idx = VectorIndex(spark, str(tmp_path / "vidx_re"))
+    idx.build(emb)
+    n_sigs = idx.sigs().count()
+    idx.append(emb)  # full overlap
+    assert idx.sigs().count() == n_sigs  # dedup-on-read: one sig per (vec, band)
+    got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
+    assert_frames_match(got, fresh)
+
+
+def test_grown_stale_flags_outgrown_key_space(spark, emb, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "vidx_stale"))
+    idx.build(emb, r=4)  # tiny key space: 16 buckets/band
+    assert not idx.grown_stale() or parquet_row_count(
+        "embeddings", SF_DIR_ORACLE
+    ) > 4 * 16 * 16
+    meta = idx.meta()
+    meta["n_vectors"] = 10_000_000  # simulate growth
+    idx._write_meta(meta)
+    assert idx.grown_stale()
