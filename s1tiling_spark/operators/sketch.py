@@ -190,22 +190,46 @@ def quantile_sketch_merge(lower: DataFrame, bucket: Column) -> DataFrame:
 # hence the explicit formulation.
 
 HLL_M = 64  # registers per group (2^6); rel. error ≈ 1.04/√64 ≈ 13 %
-_HLL_ALPHA = 0.709  # bias constant for m = 64
-_HLL_QBITS = 54  # 60-bit hash minus 6 register-index bits
+_HLL_HASH_BITS = 60  # md5_long width
 
 
 def _hll_hash(key: Column) -> Column:
     return md5_long(F.concat(F.lit("dct:"), key.cast("string")))
 
 
+def _hll_params(m: int) -> tuple[int, int, float]:
+    """(log2(m), qbits, alpha) for a register count ``m`` — validated
+    power of two so register index/remainder split is exact bit
+    arithmetic; alpha is the standard HLL bias constant for m."""
+    log2m = m.bit_length() - 1
+    if m <= 0 or (1 << log2m) != m:
+        raise ValueError(f"HLL register count m={m} must be a power of two")
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return log2m, _HLL_HASH_BITS - log2m, alpha
+
+
 def hll_reg_rho(key: Column, m: int = HLL_M) -> tuple[Column, Column]:
     """(register index, first-1-bit rank) column pair for ``key`` —
     shared by the batch builder and the streaming variant
-    (streaming/rollup_stream.streaming_distinct_sketch_1h)."""
+    (streaming/rollup_stream.streaming_distinct_sketch_1h).
+
+    The hash split is PURE BIT ARITHMETIC (shiftright / pmod, both
+    exact on longs): a double division of the 60-bit hash would round
+    for h ≥ 2^53 — i.e. for ~99 % of hashes — and could disagree with
+    the oracle's exact integer division at power-of-two boundaries
+    (found by review; the quantile-sketch rank had the same defect)."""
+    log2m, qbits, _ = _hll_params(m)
     h = _hll_hash(key)
-    q = F.floor(h / F.lit(m)).cast("long")
-    rho = F.when(q == 0, F.lit(_HLL_QBITS + 1)).otherwise(
-        F.lit(_HLL_QBITS + 1) - F.length(F.bin(q))
+    q = F.shiftright(h, log2m)
+    rho = F.when(q == 0, F.lit(qbits + 1)).otherwise(
+        F.lit(qbits + 1) - F.length(F.bin(q))
     )
     return F.pmod(h, F.lit(m)).cast("int"), rho.cast("int")
 
@@ -240,13 +264,15 @@ def distinct_registers_merge(lower: DataFrame, bucket: Column) -> DataFrame:
 def hll_sql_parts(key_expr: str, m: int = HLL_M) -> tuple[str, str]:
     """DuckDB (reg, rho) expressions mirroring
     :func:`distinct_registers_long` — same md5 hash formula, same
-    bit-length trick (both engines' ``bin()`` render minimal binary)."""
+    shiftright split, same bit-length trick (both engines' ``bin()``
+    render minimal binary)."""
+    log2m, qbits, _ = _hll_params(m)
     h = MD5_LONG_SQL.format(expr=f"'dct:' || CAST({key_expr} AS VARCHAR)")
     reg = f"CAST(({h}) % {m} AS INT)"
-    q = f"(({h}) // {m})"
+    q = f"(({h}) >> {log2m})"
     rho = (
-        f"CAST(CASE WHEN {q} = 0 THEN {_HLL_QBITS + 1} "
-        f"ELSE {_HLL_QBITS + 1} - length(bin({q})) END AS INT)"
+        f"CAST(CASE WHEN {q} = 0 THEN {qbits + 1} "
+        f"ELSE {qbits + 1} - length(bin({q})) END AS INT)"
     )
     return reg, rho
 
@@ -257,13 +283,14 @@ def distinct_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     contribute 2⁰ = 1), with the standard small-range linear-counting
     correction E ≤ 2.5m ∧ V>0 → m·ln(m/V). Doubles with ln → test/report
     surface, not oracle-compared (the gated query compares registers)."""
+    _, _, alpha = _hll_params(m)
     g = registers.groupBy("bucket_start", "source").agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("rho"))).alias("present_inv"),
     )
     zeros = F.lit(m) - F.col("n_regs")
     inv_sum = F.col("present_inv") + zeros.cast("double")
-    raw = F.lit(_HLL_ALPHA * m * m) / inv_sum
+    raw = F.lit(alpha * m * m) / inv_sum
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),

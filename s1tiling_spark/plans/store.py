@@ -408,6 +408,17 @@ class TierStore:
         if new_horizon is None:
             h = vals.get("horizon")
             new_horizon = int(h) if h is not None else 0
+        # Record the horizon BEFORE the destructive swap (review fix):
+        # a crash mid-swap may already have expired history, and an
+        # unrecorded horizon would let read(as_of_seq=...) silently
+        # answer wrong — the one thing this feature promises never
+        # happens. Conservative failure mode instead: crash before any
+        # swap leaves history intact but reads below the recorded
+        # horizon raise (refusing a valid read beats serving a wrong
+        # one; re-running compact clears the inconsistency).
+        meta = self._read_compact_meta()
+        meta[tier] = max(int(meta.get(tier, 0)), new_horizon)
+        self._write_compact_meta(meta)
         for part in os.listdir(tmp):
             if not part.startswith("p_date="):
                 continue
@@ -424,9 +435,6 @@ class TierStore:
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
-        meta = self._read_compact_meta()
-        meta[tier] = max(int(meta.get(tier, 0)), new_horizon)
-        self._write_compact_meta(meta)
         return {
             "files_before": files_before,
             "files_after": _count_files(),

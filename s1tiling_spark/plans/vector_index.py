@@ -98,6 +98,11 @@ class VectorIndex:
             r = derive_r(n_vectors, target_bucket)
         elif n_vectors is None:
             n_vectors = prep.count()
+        # drop any previous meta FIRST: a crash mid-rebuild must leave
+        # an index that REFUSES to serve ("not built"), never stale
+        # meta (old r) over fresh signatures (new r) — review fix
+        if os.path.exists(self._meta_path()):
+            os.remove(self._meta_path())
         sigs = srp_banded_arrow(prep, bands, r).withColumn(
             "commit_seq", F.lit(1)
         )
@@ -106,7 +111,11 @@ class VectorIndex:
             "bands": bands,
             "r": r,
             "target_bucket": target_bucket,
-            "n_vectors": int(n_vectors),
+            # upper bound: append() adds its full row count without
+            # checking for re-appended ids (that check would cost an
+            # O(index) anti-join per refresh); grown_stale() verifies
+            # with an exact distinct count before advising a rebuild
+            "n_vectors_upper": int(n_vectors),
             "built_n_vectors": int(n_vectors),
             "commit_seq": 1,
         }
@@ -116,11 +125,21 @@ class VectorIndex:
     def append(self, new_emb: DataFrame, n_new: int | None = None) -> dict:
         """Extend the index for newly arrived vectors — O(new), never
         touches existing signatures. Re-appended vec_ids supersede
-        their old signatures via commit lineage (MERGE-on-read)."""
+        their old signatures via commit lineage (MERGE-on-read).
+
+        Crash ordering (review fix): the bumped commit_seq is
+        PERSISTED BEFORE the data write, so a crash mid-append can only
+        burn a seq (harmless gap) — it can never let two different
+        appends share a seq, which would make newest-commit-wins
+        nondeterministic. The n_vectors_upper update lands after the
+        write (a crash there undercounts the upper bound; grown_stale's
+        exact check is unaffected)."""
         meta = self.meta()
         if meta is None:
             raise ValueError("index not built — call build() first")
         seq = meta["commit_seq"] + 1
+        meta["commit_seq"] = seq
+        self._write_meta(meta)  # reserve the seq before any data lands
         sigs = srp_banded_arrow(
             _prepared(new_emb), meta["bands"], meta["r"]
         ).withColumn("commit_seq", F.lit(seq))
@@ -133,8 +152,7 @@ class VectorIndex:
             n_new = int(obs.get["rows"]) // meta["bands"]
         else:
             sigs.write.mode("append").partitionBy("band").parquet(self._sigs_path())
-        meta["commit_seq"] = seq
-        meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new)
+        meta["n_vectors_upper"] = int(meta["n_vectors_upper"]) + int(n_new)
         self._write_meta(meta)
         return meta
 
@@ -142,11 +160,28 @@ class VectorIndex:
         """True when the corpus has outgrown the build-time key space:
         expected bucket occupancy n/2^r exceeds 4× the target — the
         candidate bound has degraded and a rebuild (with the larger
-        derived r) would restore it."""
+        derived r) would restore it.
+
+        Two-stage check: the cheap append-count UPPER BOUND (which
+        overcounts re-appended ids) gates an exact distinct count over
+        the signature relation, so refresh cycles that merely supersede
+        existing ids never trigger a spurious rebuild advice."""
         meta = self.meta()
         if meta is None:
             return False
-        return meta["n_vectors"] > 4 * meta["target_bucket"] * (1 << meta["r"])
+        limit = 4 * meta["target_bucket"] * (1 << meta["r"])
+        if meta["n_vectors_upper"] <= limit:
+            return False
+        n_exact = (
+            self.spark.read.parquet(self._sigs_path())
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        # tighten the stored bound while we paid for the exact count
+        meta["n_vectors_upper"] = int(n_exact)
+        self._write_meta(meta)
+        return n_exact > limit
 
     # ---------- read / serve ----------
     def sigs(self) -> DataFrame:
@@ -173,10 +208,16 @@ class VectorIndex:
         integer-cosine re-rank against ``emb`` (vectors re-attach per
         candidate id only). Bit-identical to ann_lsh_topk on the same
         corpus/parameters."""
+        from s1tiling_spark.operators.cache import persist_tracked
+
         meta = self.meta()
         if meta is None:
             raise ValueError("index not built — call build() first")
+        # the candidate join consumes the signature relation TWICE
+        # (query-probe side + corpus side) — persist so the parquet
+        # scan + dedup window run once per query, same discipline as
+        # the fresh-compute path (release via release_cached)
         cand = lsh_candidates_from_banded(
-            self.sigs(), query_mod, meta["r"], multiprobe
+            persist_tracked(self.sigs()), query_mod, meta["r"], multiprobe
         )
         return _rerank_topk(cand, _prepared(emb), k)

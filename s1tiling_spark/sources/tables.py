@@ -67,7 +67,11 @@ def parquet_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(path):
         return pq.ParquetFile(path).metadata.num_rows
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        # a silent 0 would plan degraded, oracle-mismatching ANN
+        # parameters (derive_r(0)); fail actionably instead
+        raise FileNotFoundError(
+            f"no parquet footers under {path!r} — cannot derive row count"
+        )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

@@ -36,7 +36,7 @@ def fresh(spark, emb):
 def test_index_serving_equals_fresh_compute(spark, emb, fresh, tmp_path):
     idx = VectorIndex(spark, str(tmp_path / "vidx"))
     meta = idx.build(emb)
-    assert meta["r"] == derive_r(meta["n_vectors"])
+    assert meta["r"] == derive_r(meta["n_vectors_upper"])
     got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
     assert_frames_match(got, fresh)
 
@@ -51,7 +51,7 @@ def test_incremental_append_converges_to_full_build(spark, emb, fresh, tmp_path)
     idx.build(emb.filter(part != 0), r=derive_r(n))
     meta = idx.append(emb.filter(part == 0))
     assert meta["commit_seq"] == 2
-    assert meta["n_vectors"] == n
+    assert meta["n_vectors_upper"] == n
     got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
     assert_frames_match(got, fresh)
 
@@ -69,12 +69,20 @@ def test_reappend_supersedes_and_is_idempotent(spark, emb, fresh, tmp_path):
 
 
 def test_grown_stale_flags_outgrown_key_space(spark, emb, tmp_path):
+    n = parquet_row_count("embeddings", SF_DIR_ORACLE)
+    # key space too small for the corpus → genuinely stale
     idx = VectorIndex(spark, str(tmp_path / "vidx_stale"))
-    idx.build(emb, r=4)  # tiny key space: 16 buckets/band
-    assert not idx.grown_stale() or parquet_row_count(
-        "embeddings", SF_DIR_ORACLE
-    ) > 4 * 16 * 16
-    meta = idx.meta()
-    meta["n_vectors"] = 10_000_000  # simulate growth
-    idx._write_meta(meta)
-    assert idx.grown_stale()
+    idx.build(emb, r=2)  # 4 buckets/band; limit = 4*16*4 = 256 < n
+    assert n > 256 and idx.grown_stale()
+    # ample key space → not stale (cheap upper-bound fast path)
+    idx2 = VectorIndex(spark, str(tmp_path / "vidx_ok"))
+    idx2.build(emb, r=8)
+    assert not idx2.grown_stale()
+    # an INFLATED upper bound (refresh cycles re-appending the same
+    # ids) must NOT advise a rebuild: the exact distinct count catches
+    # the overcount and tightens the stored bound (review fix)
+    meta = idx2.meta()
+    meta["n_vectors_upper"] = 10_000_000
+    idx2._write_meta(meta)
+    assert not idx2.grown_stale()
+    assert idx2.meta()["n_vectors_upper"] == n

@@ -214,7 +214,10 @@ hot source = {out['hot_pct']} % of rows, local[{out['cpus']}]):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000")))
+    ap.add_argument("--rows", type=int,
+                    default=None,
+                    help="input rows; default 600000 (cascade/compute, or "
+                         "$SPARK_GRAFT_BENCH_ROWS) / 3000000 (skew)")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8),
                     metavar=("N", "N4"),
@@ -227,10 +230,12 @@ def main() -> None:
                          "compress (with/without salting) + AQE skew join")
     args = ap.parse_args()
     if args.mode == "skew":
-        out = run_skew(args.rows if args.rows != 600000 else 3_000_000)
+        out = run_skew(args.rows or 3_000_000)
         print(json.dumps(out))
         _write_skew_outputs(out)
         return
+    if args.rows is None:
+        args.rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
     lo, hi = args.levels
 
     # The sandbox is a shared host with bursty CPU steal (measured up to
