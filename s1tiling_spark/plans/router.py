@@ -126,3 +126,31 @@ def routed_range_totals(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_n_tok").alias("sum_n_tok"),
     )
+
+
+def routed_range_totals_from_store(
+    store,
+    start: datetime,
+    end: datetime,
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """Serve a routed range straight from a TierStore — optionally AS
+    OF a past commit (time travel through the serving path): the same
+    tier decomposition, with every tier read reconstructed at the
+    ``as_of_seq`` horizon. "What did the dashboard say before
+    yesterday's backfill?" becomes one parameter, not a restore job.
+
+    Tiers that don't exist yet at the horizon fall back to finer ones
+    only if present; a range a missing tier would have served raises
+    (same contract as reading a missing tier directly)."""
+    tiers = {}
+    for t in ("1h", "1d", "30d"):
+        df = store.read(t, as_of_seq=as_of_seq)
+        if df is None:
+            raise ValueError(
+                f"tier {t!r} is empty"
+                + (f" as of seq {as_of_seq}" if as_of_seq is not None else "")
+                + " — run the pipeline (or use a later snapshot) first"
+            )
+        tiers[t] = df
+    return routed_range_totals(tiers["1h"], tiers["1d"], tiers["30d"], start, end)

@@ -80,6 +80,18 @@ class TierStore:
         return int(self._read_compact_meta().get(tier, 0))
 
     # ---------- commit sequence ----------
+    def last_commit_seq(self) -> int:
+        """Newest commit_seq issued by this store (0 = none yet) — the
+        snapshot id to remember for an as-of read of the CURRENT state
+        (store-global: each tier append consumes its own seq, so an
+        as-of horizon spanning several tiers must come from here, not
+        from one tier's snapshots)."""
+        path = os.path.join(self.base_dir, "_commit_seq.json")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(json.load(f)["seq"])
+
     def next_commit_seq(self) -> int:
         """Monotonic commit counter (the sandbox stand-in for an Iceberg
         snapshot id). SINGLE-WRITER by design: the read-modify-write of

@@ -162,6 +162,59 @@ def streaming_distinct_sketch_1h(
     )
 
 
+def streaming_cms_1h(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "10 minutes",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming 1h count-min sketch: the md5-hashed (depth, col)
+    counters (operators/sketch.cms_long) as a watermarked window SUM
+    aggregate — CMS counters are linear, so micro-batch partial counts
+    sum to exactly the batch-built sketch. State is bounded by
+    windows-in-watermark × sources × depth × width cells (the explode
+    multiplies rows within a batch, never state keys). Completes the
+    sketch family's streaming symmetry: histogram, quantile, distinct
+    and CMS all stream with the same convergence guarantee."""
+    from s1tiling_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, _cms_col
+
+    depth = depth or CMS_DEPTH
+    width = width or CMS_WIDTH
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(landing_dir)
+    tok = stream.select(
+        "event_ts", "source", F.explode("tokens").alias("token")
+    )
+    cells = tok.select(
+        "event_ts",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_col(F.col("token"), d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    )
+    return (
+        cells.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.window("event_ts", "1 hour").alias("win"),
+            "source",
+            F.col("dc.depth").alias("depth"),
+            F.col("dc.col").alias("col"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("bucket_start"), "source", "depth", "col", "cnt"
+        )
+    )
+
+
 def run_stream_into_store(
     spark: SparkSession,
     landing_dir: str,

@@ -70,3 +70,51 @@ def test_routed_equals_direct_scan(spark, raw90):
         .collect()
     }
     assert routed == direct
+
+
+def test_routed_as_of_serves_past_snapshot(spark, raw90, tmp_path):
+    """Time travel through the SERVING path: after a second append
+    changes the tiers, routing as-of the first commit horizon
+    reproduces the answer the dashboard gave back then, and a fresh
+    (no as_of) route reflects the new data."""
+    from s1tiling_spark.plans.router import routed_range_totals_from_store
+    from s1tiling_spark.plans.store import TierStore
+    from s1tiling_spark.plans.tiers import TierPipeline, TierPipelineConfig
+
+    early = raw90.filter(F.col("event_ts") < "2024-03-01")
+    store = TierStore(spark, str(tmp_path / "asof_route"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(early)
+    # store-GLOBAL horizon: each tier append consumes its own seq, so
+    # the snapshot id for "the state after run 1" comes from the store
+    horizon = store.last_commit_seq()
+    want_old = {
+        r["source"]: (r["cnt"], r["sum_n_tok"])
+        for r in routed_range_totals_from_store(store, _START, _END).collect()
+    }
+
+    pipe.run(raw90)  # grow the table; tiers change under the same keys
+    got_old = {
+        r["source"]: (r["cnt"], r["sum_n_tok"])
+        for r in routed_range_totals_from_store(
+            store, _START, _END, as_of_seq=horizon
+        ).collect()
+    }
+    assert got_old == want_old
+
+    # fresh route == direct scan of the grown raw table
+    got_new = {
+        r["source"]: (r["cnt"], r["sum_n_tok"])
+        for r in routed_range_totals_from_store(store, _START, _END).collect()
+    }
+    want_new = {
+        r["source"]: (r["cnt"], r["sum_n_tok"])
+        for r in raw90.filter(
+            (F.col("event_ts") >= F.lit(_START)) & (F.col("event_ts") < F.lit(_END))
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_n_tok"))
+        .collect()
+    }
+    assert got_new == want_new
+    assert got_new != want_old

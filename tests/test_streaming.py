@@ -184,3 +184,44 @@ def test_stream_distinct_sketch_matches_batch(spark, tmp_path):
         seq, bucket_col(F.col("event_ts"), "1h"), F.col("doc_id")
     ).toPandas()
     assert_frames_match(got, want)
+
+
+def test_stream_cms_matches_batch(spark, tmp_path):
+    """Streaming CMS (two overlapping deliveries + sentinel watermark
+    flush) converges to the batch-built sketch exactly — CMS counters
+    are linear, so micro-batch partials sum to the batch answer."""
+    from s1tiling_spark.operators.rollup import bucket_col
+    from s1tiling_spark.operators.sketch import cms_long
+    from s1tiling_spark.streaming.rollup_stream import streaming_cms_1h
+
+    landing = str(tmp_path / "cms_landing")
+    out_dir = str(tmp_path / "cms_out")
+    ckpt = str(tmp_path / "cms_ckpt")
+    seq = synth_sequences(spark, 400, max_tok=64).cache()
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+
+    def run_once():
+        q = (
+            streaming_cms_1h(spark, landing, watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    seq.filter(part < 6).write.mode("append").parquet(landing)
+    seq.filter(part >= 6).write.mode("append").parquet(landing)
+    run_once()
+    sentinel = spark.createDataFrame(
+        [("flush", [0], 1, "zz-flush", None)],
+        "doc_id string, tokens array<int>, n_tok int, source string, event_ts timestamp",
+    ).withColumn("event_ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
+    sentinel.write.mode("append").parquet(landing)
+    run_once()
+
+    got = spark.read.parquet(out_dir).filter(F.col("source") != "zz-flush").toPandas()
+    want = cms_long(seq, bucket_col(F.col("event_ts"), "1h")).toPandas()
+    assert_frames_match(got, want)
