@@ -225,8 +225,15 @@ def hll_reg_rho(key: Column, m: int = HLL_M) -> tuple[Column, Column]:
     for h ≥ 2^53 — i.e. for ~99 % of hashes — and could disagree with
     the oracle's exact integer division at power-of-two boundaries
     (found by review; the quantile-sketch rank had the same defect)."""
+    return hll_split_hash(_hll_hash(key), m)
+
+
+def hll_split_hash(h: Column, m: int = HLL_M) -> tuple[Column, Column]:
+    """(reg, rho) from an already-computed 60-bit hash column — split
+    out so tests can drive the expression with adversarial literal
+    hashes (power-of-two rounding boundaries) against a pure-Python
+    reference."""
     log2m, qbits, _ = _hll_params(m)
-    h = _hll_hash(key)
     q = F.shiftright(h, log2m)
     rho = F.when(q == 0, F.lit(qbits + 1)).otherwise(
         F.lit(qbits + 1) - F.length(F.bin(q))

@@ -87,3 +87,47 @@ def test_estimate_large_cardinality(spark):
     regs = distinct_registers_long(df, F.col("bucket_start"), F.col("uid"))
     est = distinct_estimate(regs).collect()[0]["est_distinct"]
     assert abs(est - n) / n <= 2 * 1.04 / (HLL_M ** 0.5), est
+
+
+def _py_reg_rho(h: int, m: int = HLL_M) -> tuple[int, int]:
+    """Pure-Python reference for the register split (exact integers)."""
+    log2m = m.bit_length() - 1
+    qbits = 60 - log2m
+    q = h >> log2m
+    rho = (qbits + 1) if q == 0 else (qbits + 1 - q.bit_length())
+    return h % m, rho
+
+
+def test_hash_split_exact_at_rounding_boundaries(spark, duck):
+    """The register split must be exact bit arithmetic in BOTH engines:
+    adversarial hashes at double-rounding boundaries (h >= 2^53, where
+    floor(double(h)/m) disagrees with h >> log2m — the defect a review
+    caught) must match the pure-Python integer reference."""
+    cases = [
+        0, 1, 63, 64, 65,
+        (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+        (1 << 54) - 1, 1 << 54, (1 << 54) + 1,
+        (1 << 59) + 127, (1 << 60) - 1, (1 << 60) - 64, (1 << 60) - 65,
+    ]
+    want = [_py_reg_rho(h) for h in cases]
+
+    from s1tiling_spark.operators.sketch import hll_split_hash
+
+    df = spark.createDataFrame([(h,) for h in cases], "h long")
+    reg, rho = hll_split_hash(F.col("h"))
+    got = [
+        (r["reg"], r["rho"])
+        for r in df.select(reg.alias("reg"), rho.alias("rho")).collect()
+    ]
+    assert got == want, list(zip(cases, got, want))
+
+    # DuckDB mirror of hll_sql_parts' split on the same literals
+    rows = duck.sql(
+        "SELECT CAST(h % 64 AS INT) AS reg, "
+        "CAST(CASE WHEN (h >> 6) = 0 THEN 55 "
+        "ELSE 55 - length(bin(h >> 6)) END AS INT) AS rho "
+        "FROM (SELECT unnest(["
+        + ",".join(f"{h}::BIGINT" for h in cases)
+        + "]) AS h)"
+    ).fetchall()
+    assert [tuple(r) for r in rows] == want
