@@ -349,9 +349,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
     from pyspark.sql import Observation
 
-    converged = n_edges == 0
     import time as _time
 
+    converged = n_edges == 0
     for i in range(max_iters):
         _t0 = _time.time()
         neighbor_min = (

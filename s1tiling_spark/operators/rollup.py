@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from s1tiling_spark.operators.dedup import md5_long
+
 TIERS = ("1h", "1d", "30d")
 _TRUNC = {"1h": "hour", "1d": "day"}
 _30D_SECONDS = 30 * 86400
@@ -125,8 +127,6 @@ def token_hist_long(seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS) -> Dat
         "source",
         "tokens",
     )
-    from s1tiling_spark.operators.dedup import md5_long
-
     keys = (
         pre.select("bucket_start", "source")
         .distinct()

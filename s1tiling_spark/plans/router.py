@@ -140,9 +140,9 @@ def routed_range_totals_from_store(
     ``as_of_seq`` horizon. "What did the dashboard say before
     yesterday's backfill?" becomes one parameter, not a restore job.
 
-    Tiers that don't exist yet at the horizon fall back to finer ones
-    only if present; a range a missing tier would have served raises
-    (same contract as reading a missing tier directly)."""
+    All three tiers must exist (at the horizon, when given) — a
+    missing tier raises with the remedy, the same contract as reading
+    a missing tier directly."""
     tiers = {}
     for t in ("1h", "1d", "30d"):
         df = store.read(t, as_of_seq=as_of_seq)

@@ -39,6 +39,16 @@ CHECKPOINT_DIR = "_checkpoint"
 METRICS_DIR = "_metrics"
 
 
+def atomic_json_write(path: str, obj) -> None:
+    """Write JSON via tmp→rename (the reference's atomic-commit
+    discipline, `steps.py:123-145`) — shared by every metadata file in
+    the store family (commit seq, compaction horizon, index meta)."""
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class TierStore:
     """Directory-backed tier-table store with MERGE-on-read semantics."""
 
@@ -68,10 +78,7 @@ class TierStore:
             return json.load(f)
 
     def _write_compact_meta(self, meta: dict) -> None:
-        tmp = self._compact_meta_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._compact_meta_path())
+        atomic_json_write(self._compact_meta_path(), meta)
 
     def min_as_of(self, tier: str) -> int:
         """Oldest snapshot horizon still reconstructable for ``tier``.
@@ -100,16 +107,8 @@ class TierStore:
         discipline of the reference's one-process orchestrator; a real
         deployment gets multi-writer sequencing from Iceberg's
         optimistic commit protocol instead of this file."""
-        path = os.path.join(self.base_dir, "_commit_seq.json")
-        seq = 0
-        if os.path.exists(path):
-            with open(path) as f:
-                seq = json.load(f)["seq"]
-        seq += 1
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"seq": seq}, f)
-        os.replace(tmp, path)  # atomic, reference's tmp→rename commit
+        seq = self.last_commit_seq() + 1
+        atomic_json_write(os.path.join(self.base_dir, "_commit_seq.json"), {"seq": seq})
         return seq
 
     # ---------- data ----------

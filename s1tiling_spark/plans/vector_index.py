@@ -71,10 +71,9 @@ class VectorIndex:
             return json.load(f)
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path())  # atomic tmp→rename commit
+        from s1tiling_spark.plans.store import atomic_json_write
+
+        atomic_json_write(self._meta_path(), meta)
 
     def _sigs_path(self) -> str:
         return os.path.join(self.base_dir, "sigs")
@@ -172,26 +171,33 @@ class VectorIndex:
         limit = 4 * meta["target_bucket"] * (1 << meta["r"])
         if meta["n_vectors_upper"] <= limit:
             return False
-        n_exact = (
-            self.spark.read.parquet(self._sigs_path())
-            .select("vec_id")
-            .distinct()
-            .count()
-        )
+        n_exact = self._raw_sigs().select("vec_id").distinct().count()
         # tighten the stored bound while we paid for the exact count
         meta["n_vectors_upper"] = int(n_exact)
         self._write_meta(meta)
         return n_exact > limit
 
     # ---------- read / serve ----------
+    _SIGS_SCHEMA = "vec_id long, key long, commit_seq int, band int"
+
+    def _raw_sigs(self) -> DataFrame:
+        """Raw signature relation; an index built from an empty corpus
+        has no parquet files (partitioned write of zero rows), which
+        reads as a typed EMPTY relation — serving then returns zero
+        candidates instead of failing schema inference."""
+        path = self._sigs_path()
+        if not os.path.isdir(path) or not any(
+            d.startswith("band=") for d in os.listdir(path)
+        ):
+            return self.spark.createDataFrame([], self._SIGS_SCHEMA)
+        return self.spark.read.option("basePath", path).parquet(path)
+
     def sigs(self) -> DataFrame:
         """Deduped signature relation: newest commit per (vec_id, band)."""
-        df = self.spark.read.option("basePath", self._sigs_path()).parquet(
-            self._sigs_path()
-        )
         w = Window.partitionBy("vec_id", "band").orderBy(F.desc("commit_seq"))
         return (
-            df.withColumn("_rk", F.row_number().over(w))
+            self._raw_sigs()
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("vec_id", "band", "key")
         )

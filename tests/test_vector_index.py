@@ -86,3 +86,17 @@ def test_grown_stale_flags_outgrown_key_space(spark, emb, tmp_path):
     idx2._write_meta(meta)
     assert not idx2.grown_stale()
     assert idx2.meta()["n_vectors_upper"] == n
+
+
+def test_empty_corpus_index_serves_zero_candidates(spark, emb, tmp_path):
+    """Building from an empty corpus must yield a servable (empty)
+    index, not a schema-inference failure at read time."""
+    idx = VectorIndex(spark, str(tmp_path / "vidx_empty"))
+    meta = idx.build(emb.filter(F.lit(False)), r=6)
+    assert meta["n_vectors_upper"] == 0
+    assert idx.sigs().count() == 0
+    assert idx.topk(emb, k=3, query_mod=_QM).count() == 0
+    assert not idx.grown_stale()
+    # appending into an empty index brings it live
+    idx.append(emb)
+    assert idx.topk(emb, k=3, query_mod=_QM).count() > 0

@@ -37,9 +37,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql.functions import col as F_col  # noqa: E402
-from pyspark.sql.functions import sum as F_sum  # noqa: E402
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARKER = "## Measured results (sandbox scaling evidence)"
 
@@ -72,6 +69,9 @@ def run_skew(rows: int, cpus: int = 8) -> dict:
     key with AQE skew-join ON vs OFF, capturing the skew=true split in
     the final adaptive plan. Writes SKEW_BENCH.json + a PERF.md section."""
     import time
+
+    from pyspark.sql.functions import col as F_col
+    from pyspark.sql.functions import sum as F_sum
 
     from s1tiling_spark.operators.compress import compress_blocks
     from s1tiling_spark.operators.rollup import rollup_from_lower, rollup_sequences
