@@ -15,6 +15,8 @@ Subcommands:
              file compaction, full time travel)
   snapshots  list commits still present in a tier (time-travel catalog)
   metrics    dump the metrics table
+  index      persistent ANN index lifecycle: build | append | status
+             over an embeddings parquet (vec_id, embedding)
 
 The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
 s1tiling/S1Processor.py:153-168`): parse config → register pipelines →
@@ -74,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument("--store", required=True)
     snap.add_argument("--tier", required=True)
 
+    vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
+    vidx.add_argument("action", choices=("build", "append", "status"))
+    vidx.add_argument("--index", required=True, help="index base dir")
+    vidx.add_argument("--input", help="embeddings parquet (build/append)")
+    vidx.add_argument("--bands", type=int, default=4)
+    vidx.add_argument("--r", type=int, default=None, help="band-key bits (default: derived from corpus size)")
+
     args = ap.parse_args(argv)
 
     from s1tiling_spark.session import build_session
@@ -122,6 +131,22 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps({"min_as_of": store.min_as_of(args.tier)}),
                 file=sys.stderr,
             )
+        elif args.cmd == "index":
+            from s1tiling_spark.plans.vector_index import VectorIndex
+
+            idx = VectorIndex(spark, args.index)
+            if args.action == "status":
+                meta = idx.meta()
+                out = dict(meta or {}, grown_stale=idx.grown_stale()) if meta else None
+                print(json.dumps(out))
+            else:
+                if not args.input:
+                    raise SystemExit("index build/append requires --input")
+                emb = spark.read.parquet(args.input)
+                if args.action == "build":
+                    print(json.dumps(idx.build(emb, bands=args.bands, r=args.r)))
+                else:
+                    print(json.dumps(idx.append(emb)))
         elif args.cmd == "metrics":
             from s1tiling_spark.plans.store import TierStore
 

@@ -425,3 +425,35 @@ def connected_components(
     return labels.withColumn(
         "keep", (F.col("doc_id") == F.col("component"))
     )
+
+
+def near_dup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end dedup resolution: a pair relation (from any generator
+    — Jaccard, MinHash-LSH, embedding near-dup) → the SURVIVING corpus,
+    one canonical document per duplicate cluster.
+
+    This is the composition every real pipeline runs after pair
+    generation: transitive closure via :func:`connected_components`
+    (smallest reachable id = the cluster's canonical keeper), then a
+    left-anti join dropping every non-keeper. Documents appearing in no
+    pair survive untouched (the common case — the join prunes only the
+    pair-graph's nodes). The keeper choice (min id) is deterministic at
+    any parallelism, so re-runs produce byte-identical corpora.
+
+    Scale shape: components runs on the PAIR GRAPH (near-dup pairs,
+    orders of magnitude smaller than the corpus); the final anti-join
+    broadcasts-or-shuffles only the loser id list, never document
+    payloads.
+    """
+    losers = (
+        connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")

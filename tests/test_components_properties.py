@@ -70,3 +70,19 @@ def test_long_chain_converges_with_pointer_jumping(spark):
         for r in connected_components(pairs, max_iters=12).collect()
     }
     assert got == {i: 0 for i in range(60)}
+
+
+def test_near_dup_survivors_keeps_one_per_cluster(spark):
+    """Survivor composition: docs in no pair survive; each pair-graph
+    cluster keeps exactly its minimum doc_id."""
+    from s1tiling_spark.operators.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(10)], "doc_id long, text string"
+    )
+    #  clusters: {0,1,2} (chain), {5,6} — 3,4,7,8,9 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = sorted(r["doc_id"] for r in near_dup_survivors(docs, pairs).collect())
+    assert got == [0, 3, 4, 5, 7, 8, 9]
