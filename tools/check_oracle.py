@@ -11,7 +11,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
