@@ -15,8 +15,8 @@ Subcommands:
              file compaction, full time travel)
   snapshots  list commits still present in a tier (time-travel catalog)
   metrics    dump the metrics table
-  index      persistent ANN index lifecycle: build | append | status
-             over an embeddings parquet (vec_id, embedding)
+  index      persistent ANN index lifecycle: build | append | status |
+             compact over an embeddings parquet (vec_id, embedding)
 
 The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
 s1tiling/S1Processor.py:153-168`): parse config → register pipelines →
@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument("--tier", required=True)
 
     vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
-    vidx.add_argument("action", choices=("build", "append", "status"))
+    vidx.add_argument("action", choices=("build", "append", "status", "compact"))
     vidx.add_argument("--index", required=True, help="index base dir")
     vidx.add_argument("--input", help="embeddings parquet (build/append)")
     vidx.add_argument("--bands", type=int, default=4)
@@ -139,6 +139,8 @@ def main(argv: list[str] | None = None) -> int:
                 meta = idx.meta()
                 out = dict(meta or {}, grown_stale=idx.grown_stale()) if meta else None
                 print(json.dumps(out))
+            elif args.action == "compact":
+                print(json.dumps(idx.compact()))
             else:
                 if not args.input:
                     raise SystemExit("index build/append requires --input")

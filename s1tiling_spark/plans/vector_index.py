@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -177,6 +178,64 @@ class VectorIndex:
         self._write_meta(meta)
         return n_exact > limit
 
+    def compact(self) -> dict:
+        """Rewrite the signature table keeping only the newest version
+        per (vec_id, band), one file per band partition — the index's
+        ``rewrite_data_files``: refresh cycles append small files and
+        superseded versions forever, and every query's dedup window
+        pays for them until compaction folds them away. Swap is
+        whole-table tmp→rename (the signature table is ~1 % of the
+        corpus — per-partition staging isn't worth the crash-window
+        complexity here); meta is untouched (commit_seq lineage of
+        survivors is preserved, so later appends still win)."""
+        meta = self.meta()
+        if meta is None:
+            raise ValueError("index not built — call build() first")
+        self._recover_sigs()
+        path = self._sigs_path()
+        old = path + f"_old_{uuid.uuid4().hex[:8]}"
+        tmp = path + f"_compact_{uuid.uuid4().hex[:8]}"
+        raw = self._raw_sigs()
+        w = Window.partitionBy("vec_id", "band").orderBy(F.desc("commit_seq"))
+        kept = (
+            raw.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+            .repartition("band")
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"vidx-compact-{uuid.uuid4().hex[:8]}")
+        kept.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(tmp)
+        n_rows = int(obs.get["rows"])
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return {"sig_rows": n_rows, "bands": meta["bands"]}
+
+    def _recover_sigs(self) -> None:
+        """Crash repair for the compact swap, restore-first (the same
+        discipline TierStore's compact GC uses): a crash between
+        rename-away and rename-in leaves the only live signatures in a
+        ``sigs_old_*`` dir — restore it before deleting anything; a
+        leftover ``sigs_compact_*`` tmp is re-derivable and dropped
+        only after the restore."""
+        path = self._sigs_path()
+        base = os.path.basename(path)
+        for d in list(os.listdir(self.base_dir)):
+            full = os.path.join(self.base_dir, d)
+            if d.startswith(base + "_old_"):
+                if not os.path.isdir(path):
+                    os.rename(full, path)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+        for d in list(os.listdir(self.base_dir)):
+            if d.startswith(base + "_compact_"):
+                shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)
+
     # ---------- read / serve ----------
     _SIGS_SCHEMA = "vec_id long, key long, commit_seq int, band int"
 
@@ -184,7 +243,10 @@ class VectorIndex:
         """Raw signature relation; an index built from an empty corpus
         has no parquet files (partitioned write of zero rows), which
         reads as a typed EMPTY relation — serving then returns zero
-        candidates instead of failing schema inference."""
+        candidates instead of failing schema inference. Self-heals a
+        crashed compact swap first (restore-first recovery) so a crash
+        can never silently read as an empty index."""
+        self._recover_sigs()
         path = self._sigs_path()
         if not os.path.isdir(path) or not any(
             d.startswith("band=") for d in os.listdir(path)

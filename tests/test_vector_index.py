@@ -100,3 +100,32 @@ def test_empty_corpus_index_serves_zero_candidates(spark, emb, tmp_path):
     # appending into an empty index brings it live
     idx.append(emb)
     assert idx.topk(emb, k=3, query_mod=_QM).count() > 0
+
+
+def test_compact_shrinks_versions_and_preserves_serving(spark, emb, fresh, tmp_path):
+    """Index compaction folds superseded signature versions away; a
+    later append still wins; serving unchanged. A simulated crash in
+    the swap window (sigs renamed away, not yet replaced) self-heals
+    on the next read — never a silently empty index."""
+    import os
+    import shutil
+
+    idx = VectorIndex(spark, str(tmp_path / "vidx_cpt"))
+    idx.build(emb)
+    idx.append(emb)  # full overlap -> every sig has 2 versions
+    raw = idx._raw_sigs().count()
+    stats = idx.compact()
+    assert stats["sig_rows"] * 2 == raw
+    assert idx._raw_sigs().count() == stats["sig_rows"]
+    assert_frames_match(idx.topk(emb, k=_K, query_mod=_QM).toPandas(), fresh)
+    # post-compact append still supersedes (commit lineage preserved)
+    idx.append(emb)
+    assert_frames_match(idx.topk(emb, k=_K, query_mod=_QM).toPandas(), fresh)
+
+    # crash window: sigs renamed aside, replacement not yet in place
+    path = idx._sigs_path()
+    os.rename(path, path + "_old_deadbeef")
+    os.makedirs(path + "_compact_deadcrash", exist_ok=True)
+    assert idx.sigs().count() == stats["sig_rows"]  # self-healed
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + "_compact_deadcrash")
