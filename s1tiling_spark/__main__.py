@@ -136,9 +136,12 @@ def main(argv: list[str] | None = None) -> int:
 
             idx = VectorIndex(spark, args.index)
             if args.action == "status":
+                # grown_stale first: it may tighten n_vectors_upper via
+                # the exact count — read meta AFTER so the printed
+                # numbers are self-consistent
+                stale = idx.grown_stale()
                 meta = idx.meta()
-                out = dict(meta or {}, grown_stale=idx.grown_stale()) if meta else None
-                print(json.dumps(out))
+                print(json.dumps(dict(meta, grown_stale=stale) if meta else None))
             elif args.action == "compact":
                 print(json.dumps(idx.compact()))
             else:

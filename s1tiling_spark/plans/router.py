@@ -140,13 +140,19 @@ def routed_range_totals_from_store(
     ``as_of_seq`` horizon. "What did the dashboard say before
     yesterday's backfill?" becomes one parameter, not a restore job.
 
-    All three tiers must exist (at the horizon, when given) — a
-    missing tier raises with the remedy, the same contract as reading
-    a missing tier directly."""
+    All three tiers must exist — including AT THE HORIZON: a tier
+    whose first commit postdates ``as_of_seq`` reads as an empty
+    relation, and routing over it would silently undercount the spans
+    that tier serves, so it raises instead (one cheap isEmpty probe
+    per tier on the as-of path; the same never-silently-wrong contract
+    as ``store.read``). Pick horizons at run boundaries
+    (``store.last_commit_seq()`` after a pipeline run) — a mid-run
+    horizon reproduces whatever mid-run state the dashboard actually
+    showed then."""
     tiers = {}
     for t in ("1h", "1d", "30d"):
         df = store.read(t, as_of_seq=as_of_seq)
-        if df is None:
+        if df is None or (as_of_seq is not None and df.isEmpty()):
             raise ValueError(
                 f"tier {t!r} is empty"
                 + (f" as of seq {as_of_seq}" if as_of_seq is not None else "")

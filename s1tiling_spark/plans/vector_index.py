@@ -137,6 +137,12 @@ class VectorIndex:
         meta = self.meta()
         if meta is None:
             raise ValueError("index not built — call build() first")
+        # self-heal a crashed compact swap BEFORE appending: writing
+        # into a missing sigs dir would otherwise create a fresh table
+        # holding only this batch, and the next recovery pass would
+        # see it live and delete the pre-compact corpus aside —
+        # permanent silent loss via a routine refresh (review catch)
+        self._recover_sigs()
         seq = meta["commit_seq"] + 1
         meta["commit_seq"] = seq
         self._write_meta(meta)  # reserve the seq before any data lands
@@ -191,18 +197,11 @@ class VectorIndex:
         meta = self.meta()
         if meta is None:
             raise ValueError("index not built — call build() first")
-        self._recover_sigs()
         path = self._sigs_path()
         old = path + f"_old_{uuid.uuid4().hex[:8]}"
         tmp = path + f"_compact_{uuid.uuid4().hex[:8]}"
-        raw = self._raw_sigs()
-        w = Window.partitionBy("vec_id", "band").orderBy(F.desc("commit_seq"))
-        kept = (
-            raw.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-            .repartition("band")
-        )
+        # _raw_sigs self-heals any earlier crashed swap first
+        kept = self._deduped_sigs(keep_seq=True).repartition("band")
         from pyspark.sql import Observation
 
         obs = Observation(f"vidx-compact-{uuid.uuid4().hex[:8]}")
@@ -254,15 +253,21 @@ class VectorIndex:
             return self.spark.createDataFrame([], self._SIGS_SCHEMA)
         return self.spark.read.option("basePath", path).parquet(path)
 
-    def sigs(self) -> DataFrame:
-        """Deduped signature relation: newest commit per (vec_id, band)."""
+    def _deduped_sigs(self, keep_seq: bool) -> DataFrame:
+        """Newest commit per (vec_id, band) — THE dedup rule, shared by
+        serving (sigs) and compaction so the two can never diverge."""
         w = Window.partitionBy("vec_id", "band").orderBy(F.desc("commit_seq"))
+        cols = ["vec_id", "band", "key"] + (["commit_seq"] if keep_seq else [])
         return (
             self._raw_sigs()
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("vec_id", "band", "key")
+            .select(*cols)
         )
+
+    def sigs(self) -> DataFrame:
+        """Deduped signature relation: newest commit per (vec_id, band)."""
+        return self._deduped_sigs(keep_seq=False)
 
     def topk(
         self,

@@ -129,3 +129,25 @@ def test_compact_shrinks_versions_and_preserves_serving(spark, emb, fresh, tmp_p
     assert idx.sigs().count() == stats["sig_rows"]  # self-healed
     assert os.path.isdir(path)
     assert not os.path.isdir(path + "_compact_deadcrash")
+
+
+def test_append_after_crashed_compact_self_heals(spark, emb, fresh, tmp_path):
+    """The severest crash composition: compact dies in the swap window
+    (only live sigs are in the _old_ aside), and the NEXT operation is
+    a routine append. Append must restore the aside first — otherwise
+    it creates a fresh sigs dir holding only its batch, and the next
+    recovery pass deletes the pre-compact corpus (review catch)."""
+    import os
+
+    part = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(5))
+    idx = VectorIndex(spark, str(tmp_path / "vidx_crash_append"))
+    idx.build(emb.filter(part != 0), r=idx.build.__defaults__ and None or None)         if False else None
+    idx.build(emb.filter(part != 0),
+              r=__import__("s1tiling_spark.operators.similarity",
+                           fromlist=["derive_r"]).derive_r(
+                  parquet_row_count("embeddings", SF_DIR_ORACLE)))
+    path = idx._sigs_path()
+    os.rename(path, path + "_old_deadbeef")  # crash window
+    idx.append(emb.filter(part == 0))        # routine refresh
+    got = idx.topk(emb, k=_K, query_mod=_QM).toPandas()
+    assert_frames_match(got, fresh)          # full corpus served
