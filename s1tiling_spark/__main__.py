@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
         help="keep every snapshot >= this commit_seq readable "
         "(default: expire all history, newest version per key only)",
     )
+    cmp_.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated sort-order columns: cluster rows inside "
+        "each rewritten file so row-group stats prune on these keys",
+    )
 
     snap = sub.add_parser("snapshots", help="list commits present in a tier")
     snap.add_argument("--store", required=True)
@@ -118,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.tier,
                 keys=tuple(k.strip() for k in args.keys.split(",") if k.strip()),
                 expire_below=args.expire_below,
+                cluster_by=(
+                    tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())
+                    if args.cluster_by
+                    else None
+                ),
             )
             print(json.dumps(stats))
         elif args.cmd == "snapshots":

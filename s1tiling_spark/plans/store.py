@@ -155,6 +155,7 @@ class TierStore:
         deduped: bool = True,
         keys: tuple[str, ...] = ("bucket_start", "source"),
         as_of_seq: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Read a tier table; with ``deduped`` the newest commit wins per
         natural key (default (bucket_start, source); histogram tables add
@@ -168,13 +169,24 @@ class TierStore:
         `/root/reference/s1tiling/libs/otbpipeline.py:814-819`).
         Raises if a compaction has expired history below that horizon
         (``min_as_of``) — a silent wrong answer is never returned.
+
+        ``merge_schema``: schema-evolution read (Iceberg add-column
+        analog). Appends may carry NEW columns; with ``merge_schema``
+        the scan unions every file's schema and back-fills old rows
+        with NULL. Opt-in because it reads every footer up front —
+        at 10^12-row scale that is a metadata storm to pay only after
+        an actual evolution (a real Iceberg catalog serves the current
+        schema from the table metadata instead).
         """
         path = self.tier_path(tier)
         if not os.path.isdir(path) or not any(
             p.startswith("p_date=") for p in os.listdir(path)
         ):
             return None
-        df = self.spark.read.option("basePath", path).parquet(path)
+        reader = self.spark.read.option("basePath", path)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
         if as_of_seq is not None:
             horizon = self.min_as_of(tier)
             if as_of_seq < horizon:
@@ -275,6 +287,7 @@ class TierStore:
         tier: str,
         keys: tuple[str, ...] = ("bucket_start", "source"),
         expire_below: int | None = None,
+        cluster_by: tuple[str, ...] | None = None,
     ) -> dict:
         """Physically apply MERGE-on-read: rewrite each partition with
         one file per partition, expiring superseded row versions.
@@ -304,6 +317,19 @@ class TierStore:
         aside dir that readers never list; the next compact() RESTORES
         an aside whose live partition is missing before any deletion —
         never a silently missing partition.
+
+        ``cluster_by``: sort-order clustering (the Iceberg
+        ``rewrite_data_files`` *sort strategy* analog). Rows inside each
+        rewritten ``p_date`` file are sorted by these columns, so the
+        parquet row-group min/max statistics become tight, disjoint
+        ranges — a routed read filtering on the cluster keys (e.g.
+        ``source``, or a ``bucket_start`` range inside the day) skips
+        whole row groups at the scan instead of decoding them. At
+        10^12 rows this is the difference between a serving query
+        touching one row group per day and decoding every file the
+        partition prune left behind. Sorting is per write task (no
+        extra shuffle: ``sortWithinPartitions`` after the existing
+        ``repartition("p_date")``).
 
         SAFETY: ``keys`` must be the tier's FULL natural key. Long-form
         sketch tiers carry an extra key column (bin/qbin/depth/col) —
@@ -353,7 +379,11 @@ class TierStore:
             return n
 
         files_before = _count_files()
-        raw = self.read(tier, deduped=False)
+        # merge_schema: a rewrite must carry EVERY column any file has —
+        # a single-footer schema would silently drop a column added by
+        # a later (schema-evolved) append. Compact reads all footers
+        # anyway; the merge cost is amortized by the full rewrite.
+        raw = self.read(tier, deduped=False, merge_schema=True)
         if raw is None:
             return {"files_before": files_before, "files_after": files_before, "rows": 0}
         sketch_keys = [
@@ -413,6 +443,11 @@ class TierStore:
         else:
             rows = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
         rows = rows.repartition("p_date")
+        if cluster_by:
+            # hash repartition can co-locate several p_dates in one
+            # task — lead the sort with p_date so each output file
+            # (one per date) is internally ordered by the cluster keys
+            rows = rows.sortWithinPartitions("p_date", *cluster_by)
         rows.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
         vals = obs.get
         n_rows = int(vals["rows"])

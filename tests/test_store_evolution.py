@@ -1,0 +1,165 @@
+"""Sort-order clustering on compaction + schema-evolution reads.
+
+Two Iceberg semantics completing the TierStore story:
+
+- ``compact(cluster_by=...)`` = ``rewrite_data_files`` with a sort
+  strategy: each rewritten file is internally ordered on the cluster
+  keys, so parquet row-group min/max stats become tight disjoint
+  ranges and a routed read filtering on those keys skips row groups
+  at the scan. The test proves the mechanism (file-level ordering via
+  the parquet footer/page data itself) and that clustering changes
+  nothing about MERGE-on-read results.
+- ``read(merge_schema=True)`` = add-column schema evolution: later
+  appends may carry new columns; old rows surface them as NULL.
+
+Reference analog: the rewrite discipline mirrors the reference's
+tmp→rename product re-write (`/root/reference/s1tiling/libs/
+steps.py:123-145`); clustering generalizes its per-tile/per-date file
+layout to intra-file ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.rollup import rollup_sequences
+from s1tiling_spark.plans.store import TierStore
+from s1tiling_spark.sources.synth import synth_sequences
+from tests.helpers import assert_frames_match
+
+
+@pytest.fixture()
+def seq(spark):
+    return synth_sequences(spark, 3000).cache()
+
+
+def _deduped_state(store, tier):
+    df = store.read(tier)
+    assert df is not None
+    return (
+        df.drop("commit_seq", "run_id", "p_date")
+        .toPandas()
+        .sort_values(["bucket_start", "source"])
+        .reset_index(drop=True)
+    )
+
+
+def _tier_files(store, tier):
+    path = store.tier_path(tier)
+    for part in sorted(os.listdir(path)):
+        if not part.startswith("p_date="):
+            continue
+        for fn in sorted(os.listdir(os.path.join(path, part))):
+            if fn.endswith(".parquet"):
+                yield os.path.join(path, part, fn)
+
+
+def test_compact_cluster_by_orders_rows_inside_each_file(spark, seq, tmp_path):
+    store = TierStore(spark, str(tmp_path / "clustered"))
+    t1h = rollup_sequences(seq, "1h")
+    s1 = store.next_commit_seq()
+    # shuffle the write order so pre-compact files are NOT clustered
+    store.append("1h", t1h.repartition(8), s1, "run-1")
+    before = _deduped_state(store, "1h")
+
+    stats = store.compact("1h", cluster_by=("source", "bucket_start"))
+    assert stats["rows"] == len(before)
+
+    checked_rows = 0
+    for f in _tier_files(store, "1h"):
+        t = pq.read_table(f, columns=["source", "bucket_start"])
+        pairs = list(zip(t["source"].to_pylist(), t["bucket_start"].to_pylist()))
+        assert pairs == sorted(pairs), f"{f} not clustered on (source, bucket_start)"
+        checked_rows += len(pairs)
+    assert checked_rows == len(before)
+
+    # clustering is purely physical: MERGE-on-read result unchanged
+    assert_frames_match(_deduped_state(store, "1h"), before)
+
+    # the serving filter on the cluster key reaches the parquet scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        store.read("1h", deduped=False).filter(
+            F.col("source") == "web"
+        ).explain("formatted")
+    text = buf.getvalue()
+    assert "PushedFilters" in text and "source" in text
+
+
+def test_compact_cluster_by_composes_with_expire_below(spark, seq, tmp_path):
+    """cluster_by is orthogonal to snapshot expiry: a clustered
+    history-preserving compaction keeps every as-of read exact."""
+    store = TierStore(spark, str(tmp_path / "clustered_asof"))
+    early = rollup_sequences(
+        seq.filter(F.col("event_ts") < "2024-01-20 00:00:00"), "1d"
+    )
+    full = rollup_sequences(seq, "1d")
+    s1 = store.next_commit_seq()
+    store.append("1d", early.repartition(8), s1, "run-1")
+    state_s1 = _deduped_state(store, "1d")
+    s2 = store.next_commit_seq()
+    store.append("1d", full.repartition(8), s2, "run-2")
+    state_s2 = _deduped_state(store, "1d")
+
+    store.compact("1d", expire_below=s1, cluster_by=("source", "bucket_start"))
+
+    for f in _tier_files(store, "1d"):
+        t = pq.read_table(f, columns=["source", "bucket_start"])
+        pairs = list(zip(t["source"].to_pylist(), t["bucket_start"].to_pylist()))
+        assert pairs == sorted(pairs)
+
+    df_s1 = store.read("1d", as_of_seq=s1)
+    assert_frames_match(
+        df_s1.drop("commit_seq", "run_id", "p_date")
+        .toPandas()
+        .sort_values(["bucket_start", "source"])
+        .reset_index(drop=True),
+        state_s1,
+    )
+    assert_frames_match(_deduped_state(store, "1d"), state_s2)
+
+
+def test_schema_evolution_merge_read(spark, seq, tmp_path):
+    """A later append carrying a NEW column is readable: old rows
+    back-fill NULL, the newest version per key still wins, and the
+    evolved column survives compaction."""
+    store = TierStore(spark, str(tmp_path / "evolve"))
+    early = rollup_sequences(
+        seq.filter(F.col("event_ts") < "2024-01-20 00:00:00"), "1d"
+    )
+    late = rollup_sequences(
+        seq.filter(F.col("event_ts") >= "2024-01-20 00:00:00"), "1d"
+    ).withColumn("quality_flag", F.lit("ok"))
+    s1 = store.next_commit_seq()
+    store.append("1d", early, s1, "run-1")
+    s2 = store.next_commit_seq()
+    store.append("1d", late, s2, "run-2")
+
+    df = store.read("1d", merge_schema=True)
+    assert "quality_flag" in df.columns
+    pdf = df.toPandas()
+    old = pdf[pdf["commit_seq"] == s1]
+    new = pdf[pdf["commit_seq"] == s2]
+    assert len(old) and len(new)
+    assert old["quality_flag"].isna().all()
+    assert (new["quality_flag"] == "ok").all()
+
+    # disjoint date ranges: merge-read row count is the sum
+    assert len(pdf) == early.count() + late.count()
+
+    # evolution survives a clustered rewrite (compact reads WITH
+    # merge_schema would drop nothing; default read picks one footer's
+    # schema — exercise the documented path: merge-read after compact)
+    store.compact(
+        "1d", cluster_by=("source", "bucket_start"),
+    )
+    pdf2 = store.read("1d", merge_schema=True).toPandas()
+    assert "quality_flag" in pdf2.columns
+    assert len(pdf2) == len(pdf)
