@@ -1,0 +1,87 @@
+"""Counter-semantics rollup: PromQL ``increase``/``rate`` with reset
+handling, over the ``events`` table.
+
+BEYOND-WINDOW EXTRA: registered after the TPC-H demonstrations, so it
+never competes with a §2 gate for the driver's 50-entry correctness
+window — verify with ``python tools/check_oracle.py counter_rate_1h``.
+
+The input counter is derived deterministically in-query: the running
+sum of integer value-cents per event_type, wrapped modulo ``_MOD`` —
+a faithful model of a 32-bit-style cumulative counter that resets
+(wraps) mid-stream, so the reset branch of the operator is actually
+exercised (≈ a dozen wraps per series at sf0.01). All arithmetic is
+integer until the final rate division, so both engines agree exactly.
+
+Reference analog: the incremental coverage accumulator
+(`/root/reference/s1tiling/libs/lia.py:1658-1683`) is a
+monotonic-accumulate-then-difference pattern; this generalizes it to
+restartable counters, the semantics every metrics backend ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.rollup import counter_increase
+from s1tiling_spark.registry import register
+from s1tiling_spark.sources.tables import load_table
+
+_MOD = 100_000  # counter wraps at 1000.00 value-units
+
+_COUNTER_ORACLE = f"""
+WITH cum AS (
+  SELECT event_type, ts, event_id,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS cum
+  FROM events
+),
+ctr AS (
+  SELECT event_type, ts, event_id,
+         CAST(cum % {_MOD} AS BIGINT) AS counter
+  FROM cum
+),
+lagd AS (
+  SELECT event_type, ts, counter,
+         lag(counter) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS prev
+  FROM ctr
+),
+d AS (
+  SELECT event_type, ts,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN counter >= prev THEN counter - prev
+              ELSE counter END AS delta
+  FROM lagd
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+       CAST(sum(delta) AS BIGINT) AS increase,
+       CAST(count(delta) AS BIGINT) AS n_samples,
+       CAST(sum(delta) AS BIGINT) / 3600.0 AS rate_per_sec
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("counter_rate_1h", oracle=_COUNTER_ORACLE)
+def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ctr = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.pmod(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
+            F.lit(_MOD),
+        ).alias("counter"),
+    )
+    return counter_increase(
+        ctr,
+        keys=["event_type"],
+        ts_col="ts",
+        counter_col="counter",
+        tier="1h",
+        order_cols=("event_id",),
+    )

@@ -235,3 +235,57 @@ def assemble_hist(hist_long: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("bin", "tok_cnt")))
         ).alias("tok_hist")
     )
+
+
+def counter_increase(
+    ts: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    counter_col: str,
+    tier: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-bucket ``increase`` of a monotonic-with-resets counter — the
+    PromQL ``increase()``/``rate()`` semantics every metrics backend
+    implements over cumulative counters (requests served, tokens
+    ingested) that restart from 0 when a worker restarts.
+
+    Per series (``keys``), ordered by ``(ts_col, *order_cols)``:
+    ``delta = counter - lag(counter)`` when non-negative, else the
+    counter RESET between samples and the post-reset value itself is
+    the contribution (the counter restarted from 0; anything it
+    counted before the observed sample is unknowable and dropped —
+    Prometheus's exact convention). The first sample of a series has
+    no predecessor and contributes nothing. Per-bucket ``increase`` is
+    the sum of deltas; ``rate`` divides by the bucket span.
+
+    Scale shape: ONE shuffle — the lag window partitions by the series
+    key, and the bucket groupBy that follows re-aggregates within the
+    same series (map-side partial before its shuffle collapses to
+    O(buckets)). Counter semantics are inherently per-series
+    sequential, so series cardinality (not row count) is the
+    parallelism floor — at 10^12 rows the series key set must be wide
+    (it is: sources × metric), and a single hot series is a data-model
+    bug, not a skew to salt.
+    """
+    from pyspark.sql import Window
+
+    span = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}[tier]
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    prev = F.lag(F.col(counter_col)).over(w)
+    delta = (
+        F.when(prev.isNull(), F.lit(None))
+        .when(F.col(counter_col) >= prev, F.col(counter_col) - prev)
+        .otherwise(F.col(counter_col))
+    )
+    return (
+        ts.withColumn("_delta", delta)
+        .groupBy(
+            *keys, bucket_col(F.col(ts_col), tier).alias("bucket_start")
+        )
+        .agg(
+            F.sum("_delta").alias("increase"),
+            F.count("_delta").cast("long").alias("n_samples"),
+        )
+        .withColumn("rate_per_sec", F.col("increase") / F.lit(float(span)))
+    )

@@ -5,7 +5,12 @@ assertion the catalog/__init__.py docstring promises."""
 
 from __future__ import annotations
 
-EXTRAS = {"pricing_summary", "top_unshipped_orders", "forecast_revenue_change"}
+EXTRAS = {
+    "pricing_summary",
+    "top_unshipped_orders",
+    "forecast_revenue_change",
+    "counter_rate_1h",
+}
 WINDOW = 50
 
 

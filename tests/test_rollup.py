@@ -84,3 +84,42 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 5
+
+
+def test_counter_increase_reset_semantics(spark):
+    """Hand-computed PromQL increase(): a wrap mid-bucket contributes
+    the post-reset value; the series' first sample contributes nothing;
+    buckets split deltas by the CURRENT sample's bucket."""
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.rollup import counter_increase
+
+    rows = [
+        # series m1, hour 10: 10 -> 25 (+15) -> 5 (reset: +5) -> 30 (+25)
+        ("m1", "2024-01-01 10:00:00", 1, 10),
+        ("m1", "2024-01-01 10:10:00", 2, 25),
+        ("m1", "2024-01-01 10:20:00", 3, 5),
+        ("m1", "2024-01-01 10:30:00", 4, 30),
+        # hour 11: first delta (40-30=10) lands in hour 11 (current sample)
+        ("m1", "2024-01-01 11:05:00", 5, 40),
+        # series m2: single sample -> bucket row exists, increase NULL/0 samples 0
+        ("m2", "2024-01-01 10:00:00", 6, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, event_id long, counter long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = counter_increase(
+        df, keys=["k"], ts_col="ts", counter_col="counter", tier="1h",
+        order_cols=("event_id",),
+    )
+    got = {
+        (r["k"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        for r in out.collect()
+    }
+    assert got[("m1", "2024-01-01 10:00:00")] == (15 + 5 + 25, 3)
+    assert got[("m1", "2024-01-01 11:00:00")] == (10, 1)
+    assert got[("m2", "2024-01-01 10:00:00")] == (None, 0)
+    rate = {
+        (r["k"], str(r["bucket_start"])): r["rate_per_sec"] for r in out.collect()
+    }
+    assert abs(rate[("m1", "2024-01-01 10:00:00")] - 45 / 3600.0) < 1e-12
