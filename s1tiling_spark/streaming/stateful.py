@@ -86,6 +86,90 @@ def gap_detector_stream(tier_stream: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Streaming counter increase: the stateful counterpart of
+# operators/rollup.counter_increase. State per series is the last
+# observed (order, counter) pair, so a delta spanning a micro-batch
+# boundary — including a RESET between batches — is computed exactly.
+# Output rows are MERGEABLE PARTIALS per (series, 1h bucket): the same
+# bucket may appear once per micro-batch; downstream folds them with a
+# grouped sum (the tier-store MERGE discipline). Counter semantics are
+# inherently order-dependent: per-series in-order delivery is assumed
+# (true of metric scrapes); out-of-order late samples would need
+# retraction, which append-mode streaming cannot express.
+
+COUNTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("bucket_start", TimestampType()),
+        StructField("increase", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("samples_seen", LongType()),
+        StructField("last_counter", LongType()),
+    ]
+)
+
+
+def _counter_increase(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (series,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    # sort on the datetime column itself — unit-agnostic (Arrow may
+    # hand ns- or µs-resolution frames depending on version/config)
+    batch = batch.sort_values(["ts", "order_id"], kind="mergesort")
+    counters = [int(c) for c in batch["counter"]]
+    seen = int(state.get[0]) if state.exists else 0
+    prev_counter = int(state.get[1]) if state.exists else None
+    deltas: list[int | None] = []
+    for cur in counters:
+        if prev_counter is None:
+            deltas.append(None)
+        elif cur >= prev_counter:
+            deltas.append(cur - prev_counter)
+        else:
+            deltas.append(cur)  # reset: post-restart value
+        prev_counter = cur
+    batch["_delta"] = pd.array(deltas, dtype="Int64")
+    batch["bucket_start"] = batch["ts"].dt.floor("h")
+    grouped = batch.groupby("bucket_start", sort=True)["_delta"].agg(
+        increase="sum", n_samples="count"
+    )
+    out = grouped.reset_index()
+    # pandas sums an all-NA Int64 slice to 0; the batch operator keeps
+    # NULL for a bucket with no usable delta — match it
+    out.loc[out["n_samples"] == 0, "increase"] = pd.NA
+    out["increase"] = pd.array(out["increase"], dtype="Int64")
+    out["n_samples"] = out["n_samples"].astype("int64")
+    out.insert(0, "series", series)
+    state.update((seen + len(counters), int(counters[-1])))
+    yield out[["series", "bucket_start", "increase", "n_samples"]]
+
+
+def counter_increase_stream(counter_stream: DataFrame) -> DataFrame:
+    """counter_stream: streaming (series, ts, order_id, counter) rows →
+    streaming per-bucket increase PARTIALS (fold with a grouped sum)."""
+    return (
+        counter_stream.groupBy("series")
+        .applyInPandasWithState(
+            _counter_increase,
+            COUNTER_OUTPUT_SCHEMA,
+            COUNTER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ship by value for foreign sessions
 import sys as _sys  # noqa: E402
 

@@ -62,3 +62,94 @@ def test_gap_detector(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     gaps = {(r["source"], str(r["gap_hour"]), r["gap_len_hours"]) for r in got}
     assert gaps == {("A", "2024-01-01 02:00:00", 2)}
+
+
+COUNTER_IN_SCHEMA = (
+    "series string, ts timestamp, order_id long, counter long"
+)
+
+
+def _write_counter_rows(spark, path, rows):
+    df = spark.createDataFrame(
+        [
+            (s, datetime.fromisoformat(ts), i, c)
+            for i, (s, ts, c) in enumerate(rows)
+        ],
+        schema=COUNTER_IN_SCHEMA,
+    )
+    df.write.mode("append").parquet(path)
+
+
+def test_counter_increase_stream_converges_to_batch(spark, tmp_path):
+    """Two micro-batches with a RESET across the boundary (m1: 80 → 3):
+    folding the streamed per-bucket partials with a grouped sum equals
+    the batch operator on the full data — state carries the last
+    counter across batches."""
+    from s1tiling_spark.operators.rollup import counter_increase
+    from s1tiling_spark.streaming.stateful import counter_increase_stream
+
+    landing = str(tmp_path / "c_landing")
+    out_dir = str(tmp_path / "c_out")
+    ckpt = str(tmp_path / "c_ckpt")
+
+    batch1 = [
+        ("m1", "2024-01-01 10:05:00", 10),
+        ("m1", "2024-01-01 10:25:00", 80),
+        ("m2", "2024-01-01 10:15:00", 5),
+    ]
+    batch2 = [
+        ("m1", "2024-01-01 10:45:00", 3),   # reset across batches
+        ("m1", "2024-01-01 11:10:00", 40),
+        ("m2", "2024-01-01 11:00:00", 25),
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(COUNTER_IN_SCHEMA).parquet(landing)
+        q = (
+            counter_increase_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _write_counter_rows(spark, landing, batch1)
+    run_once()
+    _write_counter_rows(spark, landing, batch2)
+    run_once()
+
+    folded = {
+        (r["series"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        for r in spark.read.parquet(out_dir)
+        .groupBy("series", "bucket_start")
+        .agg(
+            F.sum("increase").alias("increase"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .collect()
+    }
+
+    full = spark.createDataFrame(
+        [
+            (s, datetime.fromisoformat(ts), i, c)
+            for i, (s, ts, c) in enumerate(batch1 + batch2)
+        ],
+        schema=COUNTER_IN_SCHEMA,
+    )
+    expected = {
+        (r["k"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        for r in counter_increase(
+            full.withColumnRenamed("series", "k"),
+            keys=["k"],
+            ts_col="ts",
+            counter_col="counter",
+            tier="1h",
+            order_cols=("order_id",),
+        ).collect()
+    }
+    assert folded == expected
+    # the reset bucket specifically: m1 hour 10 = (80-10) + 3 = 73
+    assert folded[("m1", "2024-01-01 10:00:00")] == (73, 2)
