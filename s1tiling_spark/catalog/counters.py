@@ -85,3 +85,53 @@ def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier="1h",
         order_cols=("event_id",),
     )
+
+
+# ---------------------------------------------------------------------
+# OHLC downsample: per (series, bucket) open/high/low/close — the M4
+# visualization-preserving aggregate (Jugel et al., VLDB 2014) and the
+# candlestick rollup every financial/metrics store ships. The Spark
+# side is ONE groupBy aggregate: open/close ride struct-min/max (a
+# struct ordered (ts, event_id, value) compares lexicographically, so
+# its min is the earliest row and the value field falls out) — full
+# map-side partial aggregation, no window, no second shuffle. The
+# oracle mirrors the SEMANTICS with row_number windows (DuckDB struct
+# min doesn't project fields the same way); values are compared, not
+# plan shape.
+_OHLC_ORACLE = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT event_type, bucket_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM r GROUP BY 1, 2
+"""
+
+
+@register("ohlc_1h", oracle=_OHLC_ORACLE)
+def ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    first = F.min(F.struct("ts", "event_id", "value"))["value"]
+    last = F.max(F.struct("ts", "event_id", "value"))["value"]
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        ).agg(
+            first.alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.alias("close"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+    )

@@ -10,6 +10,7 @@ EXTRAS = {
     "top_unshipped_orders",
     "forecast_revenue_change",
     "counter_rate_1h",
+    "ohlc_1h",
 }
 WINDOW = 50
 
