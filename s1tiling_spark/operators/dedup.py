@@ -84,22 +84,6 @@ def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------- n-gram Jaccard
-def _pair_combos(ids: Column) -> Column:
-    """All ordered pairs (ids[i], ids[j]) i<j from a SORTED id array —
-    the bucket-local pair enumeration. Plan-time column algebra (nested
-    transform + flatten), no explode of the left side needed."""
-    n = F.size(ids)
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(n - i - F.lit(1), F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-
-
 def jaccard_pairs(
     docs: DataFrame, k: int = 3, tau: float = 0.8, max_df: int | None = None
 ) -> DataFrame:
@@ -114,50 +98,33 @@ def jaccard_pairs(
     both numerator and denominator). A shingle shared by d docs yields
     d(d-1)/2 join rows — one boilerplate sentence across a 10^12-doc
     corpus is a quadratic bomb without this; same intent as the
-    reference's redundant-input pruning (S1FileManager.py:332-363).
-
-    Physical shape: with ``max_df`` set, pairs come from ONE grouped
-    pass over the shingle space — groupBy(sh) collects each shingle's
-    (sorted) doc list, the df cap becomes a plain size() filter on
-    that list, and pair enumeration is plan-time array algebra
-    (:func:`_pair_combos`) inside the row. That replaces the
-    self-join formulation's extra legs (df-count groupBy + semi-join
-    probe + the join's second shuffle of the whole shingle relation)
-    with a single shuffle whose per-group state is ≤ max_df ids.
-    Without a cap the grouped row would hold a hot shingle's d²/2
-    pairs in ONE task — so max_df=None falls back to the self-join,
-    which spreads the blow-up across the shuffle instead."""
+    reference's redundant-input pruning (S1FileManager.py:332-363)."""
+    # persist the (filtered) shingle relation ONCE: it feeds the size
+    # table and both self-join sides — without the cache the shingling
+    # recomputes per consumer (the minhash_lsh_pairs lesson, VERDICT
+    # r1). Only one relation is pinned; callers running many dedup
+    # queries in one session should clearCache between them (bench.py
+    # does).
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
     )
     if max_df is not None:
-        # one row per surviving shingle; feeds sizes AND pairs → pin it
-        grouped = _persist(
+        rare = (
             sh.groupBy("sh")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") <= max_df)
-            .select("ids")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
         )
-        sizes = (
-            grouped.select(F.explode("ids").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_sh"))
-        )
-        inter = (
-            grouped.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        sh = _persist(sh)
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("inter"))
-        )
+        sh = sh.join(rare, "sh", "left_semi")
+    sh = _persist(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     tau_pct = int(round(tau * 100))
@@ -216,17 +183,14 @@ def minhash_lsh_pairs(
     - the signature relation is computed ONCE and persisted — the
       banded self-join and both re-attach joins read the cache instead
       of re-running shingling + num_hashes minhash folds per side;
-    - the candidate pass carries only (band, key, doc_id) — the sig
-      arrays never travel through it; they are re-attached AFTER dedup
-      by two equi-joins against the cached signature table, so join
-      payload is O(candidates × 8 bytes), not × num_hashes;
+    - the self-join carries only (band, key, doc_id) — the sig arrays
+      never travel through the candidate shuffle; they are re-attached
+      AFTER dedup by two equi-joins against the cached signature table,
+      so join payload is O(candidates × 8 bytes), not × num_hashes;
     - ``max_bucket`` drops hot band buckets (> max_bucket docs sharing
-      one band key) — a degenerate bucket of d docs yields d(d-1)/2
-      candidates; boilerplate-heavy corpora need this cap or one
-      bucket quadratically dominates the job. With the cap set,
-      candidates come from ONE grouped shuffle (bucket doc lists +
-      plan-time pair combos); uncapped falls back to the banded
-      self-join, which spreads unbounded buckets across the shuffle.
+      one band key) before the self-join — a degenerate bucket of d
+      docs yields d(d-1)/2 candidates; boilerplate-heavy corpora need
+      this cap or one bucket quadratically dominates the job.
     """
     r = num_hashes // bands
     sig = _persist(minhash_signatures(docs, k, num_hashes))
@@ -247,35 +211,28 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        # grouped-bucket pair enumeration (see jaccard_pairs): ONE
-        # shuffle groups each (band, key) bucket's sorted doc list,
-        # the bucket cap is a size() filter on it, and pairs are
-        # plan-time array combos — no df-count pre-pass, no semi-join,
-        # no second shuffle of the banded relation through a self-join
-        cand = (
+        ok = (
             banded.groupBy("band", "key")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") <= max_bucket)
-            .select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
-            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "key")
         )
-    else:
-        a = banded.alias("a")
-        b = banded.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
+        banded = banded.join(ok, ["band", "key"], "left_semi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     pairs = cand.join(
         sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
         "doc_a",

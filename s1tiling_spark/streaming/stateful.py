@@ -89,8 +89,8 @@ def gap_detector_stream(tier_stream: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------
 # Streaming counter increase: the stateful counterpart of
 # operators/rollup.counter_increase. State per series is the last
-# observed (order, counter) pair, so a delta spanning a micro-batch
-# boundary — including a RESET between batches — is computed exactly.
+# observed counter value, so a delta spanning a micro-batch boundary
+# — including a RESET between batches — is computed exactly.
 # Output rows are MERGEABLE PARTIALS per (series, 1h bucket): the same
 # bucket may appear once per micro-batch; downstream folds them with a
 # grouped sum (the tier-store MERGE discipline). Counter semantics are
@@ -107,12 +107,7 @@ COUNTER_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-COUNTER_STATE_SCHEMA = StructType(
-    [
-        StructField("samples_seen", LongType()),
-        StructField("last_counter", LongType()),
-    ]
-)
+COUNTER_STATE_SCHEMA = StructType([StructField("last_counter", LongType())])
 
 
 def _counter_increase(
@@ -128,8 +123,7 @@ def _counter_increase(
     # hand ns- or µs-resolution frames depending on version/config)
     batch = batch.sort_values(["ts", "order_id"], kind="mergesort")
     counters = [int(c) for c in batch["counter"]]
-    seen = int(state.get[0]) if state.exists else 0
-    prev_counter = int(state.get[1]) if state.exists else None
+    prev_counter = int(state.get[0]) if state.exists else None
     deltas: list[int | None] = []
     for cur in counters:
         if prev_counter is None:
@@ -151,7 +145,7 @@ def _counter_increase(
     out["increase"] = pd.array(out["increase"], dtype="Int64")
     out["n_samples"] = out["n_samples"].astype("int64")
     out.insert(0, "series", series)
-    state.update((seen + len(counters), int(counters[-1])))
+    state.update((int(counters[-1]),))
     yield out[["series", "bucket_start", "increase", "n_samples"]]
 
 

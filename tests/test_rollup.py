@@ -112,14 +112,15 @@ def test_counter_increase_reset_semantics(spark):
         df, keys=["k"], ts_col="ts", counter_col="counter", tier="1h",
         order_cols=("event_id",),
     )
+    rows_out = out.collect()
     got = {
         (r["k"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
-        for r in out.collect()
+        for r in rows_out
     }
     assert got[("m1", "2024-01-01 10:00:00")] == (15 + 5 + 25, 3)
     assert got[("m1", "2024-01-01 11:00:00")] == (10, 1)
     assert got[("m2", "2024-01-01 10:00:00")] == (None, 0)
     rate = {
-        (r["k"], str(r["bucket_start"])): r["rate_per_sec"] for r in out.collect()
+        (r["k"], str(r["bucket_start"])): r["rate_per_sec"] for r in rows_out
     }
     assert abs(rate[("m1", "2024-01-01 10:00:00")] - 45 / 3600.0) < 1e-12
