@@ -205,3 +205,52 @@ def test_store_read_partition_pruning(spark, seq, tmp_path):
     assert "p_date" in pf_line, pf_line
     # and the filter actually prunes: one partition's rows only
     assert 0 < df.count() < store.read("1d", deduped=False).count()
+
+
+def test_store_read_dynamic_partition_pruning(spark, seq, tmp_path):
+    """Joining a tier table against a FILTERED date dimension must
+    prune p_date partitions at RUNTIME (dynamic partition pruning:
+    the scan's PartitionFilters carries a dynamicpruning subquery fed
+    by the broadcast dim). At 100 TB this is the difference between
+    scanning the whole store and only the dim-selected days when the
+    date predicate lives on a dimension, not the fact table.
+
+    Two preconditions found while building this test (both documented
+    because each silently disables DPP with no log line):
+    - the dim must be STORAGE-BACKED: a createDataFrame LocalRelation
+      has its filter constant-folded into the local rows before the
+      PartitionPruning rule runs, leaving no selective predicate
+      (same materialize-your-dims lesson as the AQE skew-join,
+      PERF.md §14);
+    - the dim predicate must be a comparison (EqualTo/In/...): a bare
+      boolean column filter is not 'likely selective' to the rule."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.rollup import rollup_sequences
+
+    store = TierStore(spark, str(tmp_path / "dpp"))
+    store.append("1d", rollup_sequences(seq, "1d"), store.next_commit_seq(), "r0")
+    fact = store.read("1d", deduped=False)
+    dates = sorted(r["p_date"] for r in fact.select("p_date").distinct().collect())
+    assert len(dates) > 3
+    dimpath = str(tmp_path / "dpp_dim")
+    spark.createDataFrame(
+        [(d, i % 2) for i, d in enumerate(dates)], "p_date date, tag int"
+    ).write.parquet(dimpath)
+    dim = spark.read.parquet(dimpath)
+    joined = fact.join(F.broadcast(dim.filter(F.col("tag") == 0)), "p_date")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruning" in pf_line.lower(), pf_line
+    # and the join result is exactly the kept days' rows
+    kept = {str(d) for i, d in enumerate(dates) if i % 2 == 0}
+    got_days = {
+        str(r["p_date"]) for r in joined.select("p_date").distinct().collect()
+    }
+    assert got_days == kept
