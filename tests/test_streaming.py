@@ -225,3 +225,81 @@ def test_stream_cms_matches_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir).filter(F.col("source") != "zz-flush").toPandas()
     want = cms_long(seq, bucket_col(F.col("event_ts"), "1h")).toPandas()
     assert_frames_match(got, want)
+
+
+def test_stream_sessionize_merges_across_batches(spark, tmp_path):
+    """Native session_window streaming sessionization: a session whose
+    events arrive in DIFFERENT micro-batches must merge into one
+    emitted session; a gap > the 30-minute timeout splits. Sentinel
+    delivery advances the watermark to flush append-mode output."""
+    from datetime import datetime
+
+    from s1tiling_spark.streaming.rollup_stream import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_sessionize,
+    )
+
+    landing = str(tmp_path / "sess_landing")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), uid)
+                for i, (uid, ts) in enumerate(rows)
+            ],
+            schema=EVENTS_STREAM_SCHEMA,
+        ).write.mode("append").parquet(landing)
+
+    def run_once():
+        # watermark wider than the cross-batch lateness: a session can
+        # only merge with events arriving while it is still within the
+        # watermark horizon (a 1-minute watermark would CLOSE u2's
+        # batch-1 session before batch 2 lands and drop the late event)
+        q = (
+            streaming_sessionize(spark, landing, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # batch 1: u1 session A opens (2 events, 10-min gap); u2 opens
+    _write(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (2, "2024-01-01 09:00:00"),
+        ]
+    )
+    run_once()
+    # batch 2: u1 40-min gap -> session B (then extended by a 15-min
+    # gap event); u2's event 5 min after batch-1's MERGES across the
+    # micro-batch boundary
+    _write(
+        [
+            (1, "2024-01-01 10:50:00"),
+            (1, "2024-01-01 11:05:00"),
+            (2, "2024-01-01 09:05:00"),
+        ]
+    )
+    run_once()
+    # batch 3: sentinel far in the future pushes the watermark past
+    # every real session end -> all sessions flush
+    _write([(999, "2030-01-01 00:00:00")])
+    run_once()
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 999
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 10:50:00", "2024-01-01 11:05:00", 2),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:05:00", 2),
+    }
