@@ -124,3 +124,46 @@ def test_counter_increase_reset_semantics(spark):
         (r["k"], str(r["bucket_start"])): r["rate_per_sec"] for r in rows_out
     }
     assert abs(rate[("m1", "2024-01-01 10:00:00")] - 45 / 3600.0) < 1e-12
+
+
+def test_counter_increase_cascades(spark):
+    """increase is a MERGEABLE partial: every delta is assigned to its
+    sample's bucket, so the 1d increase equals the sum of its 1h
+    increases — counters join the histogram/quantile/CMS/distinct
+    family in cascading through tiers without touching raw data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from s1tiling_spark.operators.rollup import bucket_col, counter_increase
+    from s1tiling_spark.sources.synth import synth_sequences
+
+    seq = synth_sequences(spark, 4000, with_tokens=False)
+    w = Window.partitionBy("source").orderBy("event_ts", "doc_id")
+    ctr = seq.select(
+        "source",
+        "event_ts",
+        "doc_id",
+        F.pmod(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(50_000)).alias(
+            "counter"
+        ),
+    )
+    direct_1d = counter_increase(
+        ctr, keys=["source"], ts_col="event_ts", counter_col="counter",
+        tier="1d", order_cols=("doc_id",),
+    ).select("source", "bucket_start", "increase", "n_samples")
+    cascaded = (
+        counter_increase(
+            ctr, keys=["source"], ts_col="event_ts", counter_col="counter",
+            tier="1h", order_cols=("doc_id",),
+        )
+        .groupBy(
+            "source", bucket_col(F.col("bucket_start"), "1d").alias("bucket_start")
+        )
+        .agg(
+            F.sum("increase").alias("increase"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+    )
+    a = {tuple(r) for r in direct_1d.collect()}
+    b = {tuple(r) for r in cascaded.collect()}
+    assert a == b and len(a) > 50
