@@ -94,7 +94,10 @@ def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side is ONE groupBy aggregate: open/close ride struct-min/max (a
 # struct ordered (ts, event_id, value) compares lexicographically, so
 # its min is the earliest row and the value field falls out) — full
-# map-side partial aggregation, no window, no second shuffle. The
+# map-side partial aggregation, no window, no second shuffle. Struct
+# ordering drops the aggregate out of hash-agg codegen into a
+# partial+final SortAggregate (min_by/max_by plan identically) —
+# still one shuffle of O(groups) partials; audited in PLANS.md. The
 # oracle mirrors the SEMANTICS with row_number windows (DuckDB struct
 # min doesn't project fields the same way); values are compared, not
 # plan shape.
