@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated sort-order columns: cluster rows inside "
         "each rewritten file so row-group stats prune on these keys",
     )
+    cmp_.add_argument(
+        "--if-ratio-above",
+        type=float,
+        default=None,
+        help="only rewrite when row versions per key reach this ratio "
+        "(the PERF.md par.16 maintenance policy); probe is one cheap "
+        "count + approx_count_distinct pass",
+    )
 
     snap = sub.add_parser("snapshots", help="list commits present in a tier")
     snap.add_argument("--store", required=True)
@@ -120,8 +128,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from s1tiling_spark.plans.store import TierStore
 
-            stats = TierStore(spark, args.store).compact(
-                args.tier,
+            store = TierStore(spark, args.store)
+            kwargs = dict(
                 keys=tuple(k.strip() for k in args.keys.split(",") if k.strip()),
                 expire_below=args.expire_below,
                 cluster_by=(
@@ -130,6 +138,16 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
             )
+            if args.if_ratio_above is not None:
+                keys = kwargs.pop("keys")
+                stats = store.maybe_compact(
+                    args.tier,
+                    keys=keys,
+                    max_version_ratio=args.if_ratio_above,
+                    **kwargs,
+                )
+            else:
+                stats = store.compact(args.tier, **kwargs)
             print(json.dumps(stats))
         elif args.cmd == "snapshots":
             from s1tiling_spark.plans.store import TierStore

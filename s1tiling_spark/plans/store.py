@@ -487,6 +487,40 @@ class TierStore:
             "rows": n_rows,
         }
 
+    def maybe_compact(
+        self,
+        tier: str,
+        keys: tuple[str, ...] = ("bucket_start", "source"),
+        max_version_ratio: float = 2.0,
+        **compact_kwargs,
+    ) -> dict:
+        """Compact only when the measured version ratio (row versions
+        per distinct natural key) reaches ``max_version_ratio`` — the
+        maintenance policy PERF.md §16 derives: the merge-read tax
+        tracks the VERSION RATIO, not wall time, so that ratio (not a
+        cron schedule) should trigger the rewrite.
+
+        The ratio probe is ONE cheap aggregation pass — count(*) plus
+        ``approx_count_distinct`` over the key (HLL partials, no
+        per-key state blowup); an estimate is fine for a threshold
+        policy, and the ±2-3 % HLL error is absorbed by any sane
+        threshold (≥1.5). Returns the ``compact`` stats dict plus
+        ``{"compacted": bool, "version_ratio": float}``.
+        """
+        raw = self.read(tier, deduped=False)
+        if raw is None:
+            return {"compacted": False, "version_ratio": 0.0}
+        versions, approx_keys = raw.agg(
+            F.count(F.lit(1)),
+            F.approx_count_distinct(F.concat_ws("\x1f", *keys)),
+        ).first()
+        ratio = versions / max(int(approx_keys), 1)
+        if ratio < max_version_ratio:
+            return {"compacted": False, "version_ratio": round(ratio, 3)}
+        stats = self.compact(tier, keys=keys, **compact_kwargs)
+        stats.update({"compacted": True, "version_ratio": round(ratio, 3)})
+        return stats
+
     # ---------- retention ----------
     def expire(self, tier: str, keep_after) -> int:
         """Retention: drop partitions whose date < keep_after (the

@@ -163,3 +163,24 @@ def test_schema_evolution_merge_read(spark, seq, tmp_path):
     pdf2 = store.read("1d", merge_schema=True).toPandas()
     assert "quality_flag" in pdf2.columns
     assert len(pdf2) == len(pdf)
+
+
+def test_maybe_compact_triggers_on_version_ratio(spark, seq, tmp_path):
+    """The ratio-driven maintenance policy (PERF.md par.16): a single
+    append (ratio ~1) must NOT rewrite; a second fully-overlapping
+    append (ratio ~2) must; results are unchanged either way."""
+    store = TierStore(spark, str(tmp_path / "auto"))
+    t1d = rollup_sequences(seq, "1d")
+    store.append("1d", t1d, store.next_commit_seq(), "run-1")
+
+    r1 = store.maybe_compact("1d", max_version_ratio=1.9)
+    assert r1["compacted"] is False and 0.9 < r1["version_ratio"] < 1.1
+
+    store.append("1d", t1d.withColumn("cnt", F.col("cnt") + 1), store.next_commit_seq(), "run-2")
+    before = _deduped_state(store, "1d")
+    r2 = store.maybe_compact(
+        "1d", max_version_ratio=1.9, cluster_by=("source", "bucket_start")
+    )
+    assert r2["compacted"] is True and r2["version_ratio"] > 1.8
+    assert r2["files_after"] <= r2["files_before"]
+    assert_frames_match(_deduped_state(store, "1d"), before)
