@@ -61,8 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--tier", required=True)
     cmp_.add_argument(
         "--keys",
-        default="bucket_start,source",
-        help="comma-separated natural key (hist tables add 'bin')",
+        default=None,
+        help="comma-separated natural key (hist tables add 'bin'; "
+        "default: the store's DEFAULT_KEYS)",
     )
     cmp_.add_argument(
         "--expire-below",
@@ -126,11 +127,15 @@ def main(argv: list[str] | None = None) -> int:
             dropped = TierStore(spark, args.store).expire(args.tier, args.before)
             print(json.dumps({"dropped_partitions": dropped}))
         elif args.cmd == "compact":
-            from s1tiling_spark.plans.store import TierStore
+            from s1tiling_spark.plans.store import DEFAULT_KEYS, TierStore
 
             store = TierStore(spark, args.store)
             kwargs = dict(
-                keys=tuple(k.strip() for k in args.keys.split(",") if k.strip()),
+                keys=(
+                    tuple(k.strip() for k in args.keys.split(",") if k.strip())
+                    if args.keys
+                    else DEFAULT_KEYS
+                ),
                 expire_below=args.expire_below,
                 cluster_by=(
                     tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())

@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 CHECKPOINT_DIR = "_checkpoint"
 METRICS_DIR = "_metrics"
 
+# the stat tiers' natural key — the single source for read()'s dedup,
+# compact()'s rewrite, maybe_compact()'s probe and the CLI default
+# (a drifted copy would make the probe measure one key and the
+# rewrite dedup another)
+DEFAULT_KEYS = ("bucket_start", "source")
+
 
 def atomic_json_write(path: str, obj) -> None:
     """Write JSON via tmp→rename (the reference's atomic-commit
@@ -153,7 +159,7 @@ class TierStore:
         self,
         tier: str,
         deduped: bool = True,
-        keys: tuple[str, ...] = ("bucket_start", "source"),
+        keys: tuple[str, ...] = DEFAULT_KEYS,
         as_of_seq: int | None = None,
         merge_schema: bool = False,
     ) -> DataFrame | None:
@@ -282,10 +288,40 @@ class TierStore:
         return self.spark.read.parquet(path)
 
     # ---------- compaction ----------
+    def _repair_crashed_compact(self, tier: str) -> None:
+        """Restore-first crash repair (a crash between rename-aside and
+        rename-in leaves a partition's ONLY live copy in the aside):
+        1. any ``_stale_<part>.<sfx>`` whose live ``<part>`` is missing
+        is renamed back; asides whose live partition exists are dead.
+        2. only after restore: crashed-compact tmp dirs are dropped
+        (their content is re-derivable from the now-complete table).
+        Run by ``compact`` AND by ``maybe_compact``'s probe — a
+        ratio-gated run that decides NOT to rewrite must still heal
+        (and measure) the complete table, never the crashed view."""
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return
+        for d in list(os.listdir(path)):
+            if not d.startswith("_stale_"):
+                continue
+            # aside names encode '=' as '~' (a name containing '=' is
+            # EXEMPT from Spark's hidden-path filter and would be
+            # parsed as a partition dir, breaking partition inference)
+            orig = d[len("_stale_") :].rsplit(".", 1)[0].replace("~", "=")
+            live = os.path.join(path, orig)
+            if orig.startswith("p_date=") and not os.path.isdir(live):
+                os.rename(os.path.join(path, d), live)
+            else:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        parent = os.path.dirname(path) or "."
+        for d in list(os.listdir(parent)):
+            if d.startswith(os.path.basename(path) + "_compact_"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
     def compact(
         self,
         tier: str,
-        keys: tuple[str, ...] = ("bucket_start", "source"),
+        keys: tuple[str, ...] = DEFAULT_KEYS,
         expire_below: int | None = None,
         cluster_by: tuple[str, ...] | None = None,
     ) -> dict:
@@ -344,28 +380,7 @@ class TierStore:
         path = self.tier_path(tier)
         if not os.path.isdir(path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
-        # Crash repair, restore-first (a crash between rename-aside and
-        # rename-in leaves the partition's ONLY live copy in the aside):
-        # 1. any _stale_<part>.<sfx> whose live <part> is missing is
-        #    renamed back; asides whose live partition exists are dead.
-        for d in list(os.listdir(path)):
-            if not d.startswith("_stale_"):
-                continue
-            # aside names encode '=' as '~' (a name containing '=' is
-            # EXEMPT from Spark's hidden-path filter and would be
-            # parsed as a partition dir, breaking partition inference)
-            orig = d[len("_stale_") :].rsplit(".", 1)[0].replace("~", "=")
-            live = os.path.join(path, orig)
-            if orig.startswith("p_date=") and not os.path.isdir(live):
-                os.rename(os.path.join(path, d), live)
-            else:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-        # 2. only after restore: drop crashed-compact tmp dirs (their
-        #    content is re-derivable from the now-complete live table).
-        parent = os.path.dirname(path) or "."
-        for d in list(os.listdir(parent)):
-            if d.startswith(os.path.basename(path) + "_compact_"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        self._repair_crashed_compact(tier)
 
         def _count_files() -> int:
             n = 0
@@ -481,6 +496,12 @@ class TierStore:
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
+        # AFTER the swap (unlike the horizon): losing this marker to a
+        # crash only costs one redundant rewrite on the next scheduled
+        # maybe_compact — conservative, never wrong
+        meta = self._read_compact_meta()
+        meta[f"_last_compact_seq_{tier}"] = self.last_commit_seq()
+        self._write_compact_meta(meta)
         return {
             "files_before": files_before,
             "files_after": _count_files(),
@@ -490,7 +511,7 @@ class TierStore:
     def maybe_compact(
         self,
         tier: str,
-        keys: tuple[str, ...] = ("bucket_start", "source"),
+        keys: tuple[str, ...] = DEFAULT_KEYS,
         max_version_ratio: float = 2.0,
         **compact_kwargs,
     ) -> dict:
@@ -501,18 +522,38 @@ class TierStore:
         cron schedule) should trigger the rewrite.
 
         The ratio probe is ONE cheap aggregation pass — count(*) plus
-        ``approx_count_distinct`` over the key (HLL partials, no
-        per-key state blowup); an estimate is fine for a threshold
-        policy, and the ±2-3 % HLL error is absorbed by any sane
-        threshold (≥1.5). Returns the ``compact`` stats dict plus
-        ``{"compacted": bool, "version_ratio": float}``.
+        ``approx_count_distinct`` over ``struct(*keys)`` (HLL partials,
+        no per-key state blowup; the struct keeps NULL key components
+        distinct exactly like the dedup window's partitionBy, where a
+        separator-joined string would collapse them); an estimate is
+        fine for a threshold policy, and the ±2-3 % HLL error is
+        absorbed by any sane threshold (≥1.5).
+
+        Convergence: a history-preserving compaction (``expire_below``)
+        RETAINS superseded versions, so the raw ratio alone would stay
+        above the threshold forever and a scheduled run would rewrite
+        the whole tier every time. The policy therefore also records
+        the store commit seq at each compaction and SKIPS when no
+        append has happened since — at most one rewrite per batch of
+        new commits, regardless of retention mode. The probe runs the
+        same crash repair as ``compact`` first, so a ratio-gated run
+        that decides not to rewrite still heals (and measures) the
+        complete table.
+
+        Returns the ``compact`` stats dict plus
+        ``{"compacted": bool, "version_ratio": float | None}``.
         """
+        self._repair_crashed_compact(tier)
+        cur_seq = self.last_commit_seq()
+        meta = self._read_compact_meta()
+        if int(meta.get(f"_last_compact_seq_{tier}", -1)) == cur_seq:
+            return {"compacted": False, "version_ratio": None}
         raw = self.read(tier, deduped=False)
         if raw is None:
             return {"compacted": False, "version_ratio": 0.0}
         versions, approx_keys = raw.agg(
             F.count(F.lit(1)),
-            F.approx_count_distinct(F.concat_ws("\x1f", *keys)),
+            F.approx_count_distinct(F.struct(*keys)),
         ).first()
         ratio = versions / max(int(approx_keys), 1)
         if ratio < max_version_ratio:

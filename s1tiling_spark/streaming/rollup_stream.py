@@ -221,8 +221,8 @@ EVENTS_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long"
 def streaming_sessionize(
     spark: SparkSession,
     landing_dir: str,
+    watermark: str,
     gap: str = "30 minutes",
-    watermark: str = "1 minute",
 ) -> DataFrame:
     """Streaming sessionization via the native ``session_window``: the
     built-in MERGING window (state sessions whose spans come within
@@ -233,6 +233,14 @@ def streaming_sessionize(
     applyInPandasWithState kernel. Append output: a session emits once
     its window end drops below the watermark (state is bounded by
     open sessions within the watermark horizon).
+
+    ``watermark`` is REQUIRED, deliberately without a default: it must
+    exceed the worst cross-delivery lateness, because a session can
+    only merge with events that arrive while it is still inside the
+    watermark horizon — a too-narrow value CLOSES the session early
+    and silently DROPS the late half (review finding; the convergence
+    test demonstrates both the failure and the fix). Pick it like a
+    retention SLA, not a latency knob.
 
     Boundary note: ``session_window`` starts a NEW session at
     gap-or-more (merge iff next_ts − prev_ts < gap) where the batch

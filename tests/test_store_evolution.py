@@ -184,3 +184,16 @@ def test_maybe_compact_triggers_on_version_ratio(spark, seq, tmp_path):
     assert r2["compacted"] is True and r2["version_ratio"] > 1.8
     assert r2["files_after"] <= r2["files_before"]
     assert_frames_match(_deduped_state(store, "1d"), before)
+
+    # convergence guard: no appends since the rewrite -> the next
+    # scheduled run SKIPS without even probing (the retained-history
+    # ratio would otherwise re-trigger a useless full rewrite forever
+    # under expire_below retention)
+    r3 = store.maybe_compact("1d", max_version_ratio=1.9)
+    assert r3 == {"compacted": False, "version_ratio": None}
+    # ...and a fresh append re-arms the policy
+    store.append(
+        "1d", t1d.withColumn("cnt", F.col("cnt") + 2), store.next_commit_seq(), "run-3"
+    )
+    r4 = store.maybe_compact("1d", max_version_ratio=1.9)
+    assert r4["version_ratio"] is not None
