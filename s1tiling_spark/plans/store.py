@@ -212,6 +212,30 @@ class TierStore:
             .drop("_rk")
         )
 
+    def read_summed(
+        self,
+        tier: str,
+        keys: tuple[str, ...],
+        sum_cols: tuple[str, ...],
+        as_of_seq: int | None = None,
+    ) -> DataFrame | None:
+        """ADDITIVE merge-on-read: fold all row versions per key with a
+        grouped SUM instead of newest-wins. For tiers whose appended
+        rows are mergeable PARTIALS — streaming counter-increase
+        partials, long-form sketch counters — where a later delivery
+        INCREMENTS the bucket rather than superseding it. (Newest-wins
+        ``read`` would silently drop every partial but the last; the
+        two merge disciplines are per-tier contracts, like Iceberg's
+        upsert-vs-aggregate table distinction.) Cheaper than the rank
+        window at scale: a partial-agg SUM shuffles O(keys), no sort.
+        ``as_of_seq`` time travel composes (sum versions ≤ horizon)."""
+        df = self.read(tier, deduped=False, as_of_seq=as_of_seq)
+        if df is None:
+            return None
+        return df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+
     def snapshots(self, tier: str) -> DataFrame | None:
         """List commits still present in ``tier``: one row per
         commit_seq with its run_id, row-version count and date range —

@@ -153,3 +153,80 @@ def test_counter_increase_stream_converges_to_batch(spark, tmp_path):
     assert folded == expected
     # the reset bucket specifically: m1 hour 10 = (80-10) + 3 = 73
     assert folded[("m1", "2024-01-01 10:00:00")] == (73, 2)
+
+
+def test_counter_stream_through_store_equals_batch(spark, tmp_path):
+    """E2E counter serving loop: stream partials → TierStore append per
+    micro-batch → ADDITIVE read (read_summed) == the batch operator.
+    Counter partials are increments, not supersessions — the
+    newest-wins read would silently drop all but the last partial per
+    bucket, so the additive merge discipline is the tier's contract."""
+    from s1tiling_spark.operators.rollup import counter_increase
+    from s1tiling_spark.plans.store import TierStore
+    from s1tiling_spark.streaming.stateful import counter_increase_stream
+
+    landing = str(tmp_path / "cs_landing")
+    ckpt = str(tmp_path / "cs_ckpt")
+    store = TierStore(spark, str(tmp_path / "cs_store"))
+
+    batch1 = [
+        ("m1", "2024-01-01 10:05:00", 10),
+        ("m1", "2024-01-01 10:25:00", 80),
+        ("m2", "2024-01-01 10:15:00", 5),
+    ]
+    batch2 = [
+        ("m1", "2024-01-01 10:45:00", 3),
+        ("m1", "2024-01-01 11:10:00", 40),
+        ("m2", "2024-01-01 11:00:00", 25),
+    ]
+
+    def run_once():
+        stream = counter_increase_stream(
+            spark.readStream.schema(COUNTER_IN_SCHEMA).parquet(landing)
+        )
+
+        def sink(bdf, bid):
+            if bdf.isEmpty():
+                return
+            out = bdf.withColumnRenamed("series", "source")
+            store.append("counter_1h", out, store.next_commit_seq(), f"b{bid}")
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _write_counter_rows(spark, landing, batch1)
+    run_once()
+    _write_counter_rows(spark, landing, batch2)
+    run_once()
+
+    served = store.read_summed(
+        "counter_1h",
+        keys=("source", "bucket_start"),
+        sum_cols=("increase", "n_samples"),
+    )
+    got = {
+        (r["source"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        for r in served.collect()
+    }
+    full = spark.createDataFrame(
+        [
+            (s, datetime.fromisoformat(ts), i, c)
+            for i, (s, ts, c) in enumerate(batch1 + batch2)
+        ],
+        schema=COUNTER_IN_SCHEMA,
+    )
+    expected = {
+        (r["k"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        for r in counter_increase(
+            full.withColumnRenamed("series", "k"),
+            keys=["k"], ts_col="ts", counter_col="counter", tier="1h",
+            order_cols=("order_id",),
+        ).collect()
+    }
+    assert got == expected
