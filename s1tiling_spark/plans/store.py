@@ -348,9 +348,26 @@ class TierStore:
         keys: tuple[str, ...] = DEFAULT_KEYS,
         expire_below: int | None = None,
         cluster_by: tuple[str, ...] | None = None,
+        mode: str = "latest",
+        sum_cols: tuple[str, ...] = (),
     ) -> dict:
         """Physically apply MERGE-on-read: rewrite each partition with
         one file per partition, expiring superseded row versions.
+
+        ``mode`` selects the tier's merge discipline — the same
+        per-tier contract the readers follow:
+
+        - ``"latest"`` (default): newest version per key wins — for
+          upsert tiers read via :meth:`read`.
+        - ``"sum"``: fold all versions per key into ONE row whose
+          ``sum_cols`` are summed — for ADDITIVE tiers (streaming
+          counter partials, long-form sketch counters) read via
+          :meth:`read_summed`. Compacting an additive tier in latest
+          mode would silently DELETE all partials but the newest; the
+          caller owns knowing the tier's discipline, exactly as with
+          reads. The folded row keeps the newest contributing
+          commit_seq/run_id; ``expire_below`` is refused in sum mode
+          (partial folding below a horizon is not reconstructable).
 
         Append + dedup-on-read accumulates one row VERSION per commit —
         at 10^12 sequences with frequent late-data merges the read-side
@@ -436,7 +453,38 @@ class TierStore:
                 f"not in keys={keys} — compacting would delete all but one "
                 "counter per group; pass the full natural key"
             )
-        if expire_below is None:
+        if mode not in ("latest", "sum"):
+            raise ValueError(f"unknown compact mode {mode!r}")
+        if mode == "sum":
+            if expire_below is not None:
+                raise ValueError(
+                    "expire_below is not supported in sum mode: folded "
+                    "partials below a horizon cannot be reconstructed"
+                )
+            if not sum_cols:
+                raise ValueError("sum mode requires sum_cols")
+            # fold all partials per key; history below the newest
+            # folded seq is gone wherever folding happened — the same
+            # exact-horizon rule as latest mode, via the same observe
+            others = [
+                c
+                for c in raw.columns
+                if c not in keys
+                and c not in sum_cols
+                and c not in ("commit_seq", "run_id")
+            ]
+            kept = raw.groupBy(*keys).agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.max("commit_seq").alias("commit_seq"),
+                F.max_by("run_id", "commit_seq").alias("run_id"),
+                *[F.max(c).alias(c) for c in others],
+                F.count(F.lit(1)).alias("_nv"),
+            )
+            horizon_expr = F.max(
+                F.when(F.col("_nv") > 1, F.col("commit_seq"))
+            ).alias("horizon")
+            new_horizon = None  # filled from the observation below
+        elif expire_below is None:
             # full expiry: newest version per key only. The new horizon
             # is EXACT, not conservative: only keys that actually lose
             # versions invalidate old snapshots, and only below their

@@ -230,3 +230,57 @@ def test_counter_stream_through_store_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_additive_tier_sum_compaction(spark, tmp_path):
+    """compact(mode='sum') folds counter partials into one row per key
+    while preserving the additive totals; a second fold is a no-op
+    (idempotent); time travel below the folded horizon RAISES."""
+    import pytest as _pytest
+
+    from s1tiling_spark.plans.store import TierStore
+
+    store = TierStore(spark, str(tmp_path / "sumc"))
+    rows1 = [("m1", datetime.fromisoformat("2024-01-01 10:00:00"), 10, 2)]
+    rows2 = [("m1", datetime.fromisoformat("2024-01-01 10:00:00"), 5, 1),
+             ("m2", datetime.fromisoformat("2024-01-01 10:00:00"), 7, 3)]
+    schema = "source string, bucket_start timestamp, increase long, n_samples long"
+    s1 = store.next_commit_seq()
+    store.append("c1h", spark.createDataFrame(rows1, schema), s1, "r1")
+    s2 = store.next_commit_seq()
+    store.append("c1h", spark.createDataFrame(rows2, schema), s2, "r2")
+
+    def served():
+        return {
+            (r["source"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+            for r in store.read_summed(
+                "c1h", keys=("source", "bucket_start"),
+                sum_cols=("increase", "n_samples"),
+            ).collect()
+        }
+
+    before = served()
+    assert before[("m1", "2024-01-01 10:00:00")] == (15, 3)
+
+    stats = store.compact(
+        "c1h", keys=("source", "bucket_start"), mode="sum",
+        sum_cols=("increase", "n_samples"),
+    )
+    assert stats["rows"] == 2  # one folded row per key
+    assert served() == before
+    # idempotent: nothing left to fold
+    stats2 = store.compact(
+        "c1h", keys=("source", "bucket_start"), mode="sum",
+        sum_cols=("increase", "n_samples"),
+    )
+    assert stats2["rows"] == 2
+    assert served() == before
+    # history below the folded horizon is gone -> reads below RAISE
+    with _pytest.raises(ValueError, match="predates"):
+        store.read("c1h", deduped=False, as_of_seq=s1)
+    # guard rails: sum mode refuses expire_below and empty sum_cols
+    with _pytest.raises(ValueError, match="expire_below"):
+        store.compact("c1h", keys=("source", "bucket_start"), mode="sum",
+                      sum_cols=("increase",), expire_below=1)
+    with _pytest.raises(ValueError, match="sum_cols"):
+        store.compact("c1h", keys=("source", "bucket_start"), mode="sum")
