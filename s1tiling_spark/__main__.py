@@ -79,6 +79,19 @@ def main(argv: list[str] | None = None) -> int:
         "each rewritten file so row-group stats prune on these keys",
     )
     cmp_.add_argument(
+        "--mode",
+        choices=("latest", "sum"),
+        default="latest",
+        help="merge discipline: latest = newest version per key wins "
+        "(upsert tiers); sum = fold partials by summing --sum-cols "
+        "(additive tiers, e.g. streaming counter partials)",
+    )
+    cmp_.add_argument(
+        "--sum-cols",
+        default=None,
+        help="comma-separated columns to sum in --mode sum",
+    )
+    cmp_.add_argument(
         "--if-ratio-above",
         type=float,
         default=None,
@@ -141,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
                     tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())
                     if args.cluster_by
                     else None
+                ),
+                mode=args.mode,
+                sum_cols=(
+                    tuple(c.strip() for c in args.sum_cols.split(",") if c.strip())
+                    if args.sum_cols
+                    else ()
                 ),
             )
             if args.if_ratio_above is not None:
