@@ -142,25 +142,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from s1tiling_spark.plans.store import DEFAULT_KEYS, TierStore
 
+            def _csv(value, default):
+                if not value:
+                    return default
+                return tuple(c.strip() for c in value.split(",") if c.strip())
+
+            if args.sum_cols and args.mode != "sum":
+                ap.error(
+                    "--sum-cols without --mode sum would run the "
+                    "newest-wins rewrite and DELETE additive partials"
+                )
             store = TierStore(spark, args.store)
             kwargs = dict(
-                keys=(
-                    tuple(k.strip() for k in args.keys.split(",") if k.strip())
-                    if args.keys
-                    else DEFAULT_KEYS
-                ),
+                keys=_csv(args.keys, DEFAULT_KEYS),
                 expire_below=args.expire_below,
-                cluster_by=(
-                    tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())
-                    if args.cluster_by
-                    else None
-                ),
+                cluster_by=_csv(args.cluster_by, None),
                 mode=args.mode,
-                sum_cols=(
-                    tuple(c.strip() for c in args.sum_cols.split(",") if c.strip())
-                    if args.sum_cols
-                    else ()
-                ),
+                sum_cols=_csv(args.sum_cols, ()),
             )
             if args.if_ratio_above is not None:
                 keys = kwargs.pop("keys")

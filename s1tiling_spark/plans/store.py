@@ -45,6 +45,13 @@ METRICS_DIR = "_metrics"
 DEFAULT_KEYS = ("bucket_start", "source")
 
 
+def _sum_exprs(sum_cols: tuple[str, ...]) -> list:
+    """The additive fold, shared by read_summed and sum-mode compact —
+    the two MUST agree exactly for compaction to be invisible to
+    readers (asserted by test_additive_tier_sum_compaction)."""
+    return [F.sum(c).alias(c) for c in sum_cols]
+
+
 def atomic_json_write(path: str, obj) -> None:
     """Write JSON via tmp→rename (the reference's atomic-commit
     discipline, `steps.py:123-145`) — shared by every metadata file in
@@ -118,14 +125,44 @@ class TierStore:
         return seq
 
     # ---------- data ----------
-    def append(self, tier: str, df: DataFrame, commit_seq: int, run_id: str) -> int:
+    def _committed_key_path(self, tier: str, key: str) -> str:
+        safe = key.replace("/", "_").replace("=", "~")
+        return os.path.join(self.base_dir, "_committed_runs", tier, safe)
+
+    def append(
+        self,
+        tier: str,
+        df: DataFrame,
+        commit_seq: int,
+        run_id: str,
+        idempotency_key: str | None = None,
+    ) -> int:
         """Append tier rows with lineage columns; returns rows written.
 
         Lineage columns are the analog of the reference's propagated
         TIFF metadata (`steps.py:344-403`).
+
+        ``idempotency_key``: replay protection for at-least-once
+        producers (Spark's foreachBatch recipe — pass the streaming
+        batchId). An append whose key was already committed for this
+        tier is SKIPPED (returns 0). This matters doubly for ADDITIVE
+        tiers (:meth:`read_summed`): newest-wins reads merely waste
+        space on a replayed batch, but an additive read would
+        double-count it. The key marker is recorded AFTER the data
+        move — a crash inside that window lets exactly one replay
+        through (the same residual Spark documents for
+        non-transactional foreachBatch sinks); for newest-wins tiers
+        that replay is absorbed by dedup-on-read, for additive tiers
+        it is the at-least-once floor a file-based store can offer
+        (Iceberg closes it by committing the batchId inside the
+        snapshot transaction).
         """
         from pyspark.sql import Observation
 
+        if idempotency_key is not None and os.path.exists(
+            self._committed_key_path(tier, idempotency_key)
+        ):
+            return 0
         out = (
             df.withColumn("commit_seq", F.lit(commit_seq))
             .withColumn("run_id", F.lit(run_id))
@@ -153,6 +190,10 @@ class TierStore:
                 if fn.endswith(".parquet"):
                     os.rename(os.path.join(tmp, part, fn), os.path.join(dpart, fn))
         shutil.rmtree(tmp)
+        if idempotency_key is not None:
+            marker = self._committed_key_path(tier, idempotency_key)
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            atomic_json_write(marker, {"commit_seq": commit_seq, "run_id": run_id})
         return rows
 
     def read(
@@ -228,13 +269,18 @@ class TierStore:
         two merge disciplines are per-tier contracts, like Iceberg's
         upsert-vs-aggregate table distinction.) Cheaper than the rank
         window at scale: a partial-agg SUM shuffles O(keys), no sort.
-        ``as_of_seq`` time travel composes (sum versions ≤ horizon)."""
+        ``as_of_seq`` time travel composes (sum versions ≤ horizon).
+
+        At-least-once producers MUST pass a replay-stable
+        ``idempotency_key`` to :meth:`append` (e.g. the streaming
+        batchId): an additive read has no way to dedup a replayed
+        batch after the fact — summing is exactly what it does."""
+        if not sum_cols:
+            raise ValueError("read_summed requires sum_cols")
         df = self.read(tier, deduped=False, as_of_seq=as_of_seq)
         if df is None:
             return None
-        return df.groupBy(*keys).agg(
-            *[F.sum(c).alias(c) for c in sum_cols]
-        )
+        return df.groupBy(*keys).agg(*_sum_exprs(sum_cols))
 
     def snapshots(self, tier: str) -> DataFrame | None:
         """List commits still present in ``tier``: one row per
@@ -455,6 +501,12 @@ class TierStore:
             )
         if mode not in ("latest", "sum"):
             raise ValueError(f"unknown compact mode {mode!r}")
+        # exact-horizon rule shared by sum mode and latest full expiry:
+        # only keys that actually lose versions (_nv > 1) invalidate
+        # snapshots, and only below their newest surviving seq
+        horizon_expr = F.max(
+            F.when(F.col("_nv") > 1, F.col("commit_seq"))
+        ).alias("horizon")
         if mode == "sum":
             if expire_below is not None:
                 raise ValueError(
@@ -474,23 +526,20 @@ class TierStore:
                 and c not in ("commit_seq", "run_id")
             ]
             kept = raw.groupBy(*keys).agg(
-                *[F.sum(c).alias(c) for c in sum_cols],
+                *_sum_exprs(sum_cols),
                 F.max("commit_seq").alias("commit_seq"),
                 F.max_by("run_id", "commit_seq").alias("run_id"),
-                *[F.max(c).alias(c) for c in others],
+                # non-summed carried columns follow the newest version,
+                # like run_id — a value-level max could resurrect an
+                # old version's value into the folded row
+                *[F.max_by(c, "commit_seq").alias(c) for c in others],
                 F.count(F.lit(1)).alias("_nv"),
             )
-            horizon_expr = F.max(
-                F.when(F.col("_nv") > 1, F.col("commit_seq"))
-            ).alias("horizon")
             new_horizon = None  # filled from the observation below
         elif expire_below is None:
-            # full expiry: newest version per key only. The new horizon
-            # is EXACT, not conservative: only keys that actually lose
-            # versions invalidate old snapshots, and only below their
-            # newest surviving seq — disjoint incremental appends drop
-            # nothing and keep full time travel. Computed via the same
-            # observe() that counts rows (rides the write, no extra job).
+            # full expiry: newest version per key only; the shared
+            # horizon_expr rides the same observe() as the row count
+            # (no extra job)
             kw = Window.partitionBy(*keys)
             w = kw.orderBy(F.desc("commit_seq"))
             kept = (
@@ -498,9 +547,6 @@ class TierStore:
                 .withColumn("_nv", F.count(F.lit(1)).over(kw))
                 .filter(F.col("_rk") == 1)
             )
-            horizon_expr = F.max(
-                F.when(F.col("_nv") > 1, F.col("commit_seq"))
-            ).alias("horizon")
             kept = kept.drop("_rk")
             new_horizon = None  # filled from the observation below
         else:

@@ -189,7 +189,12 @@ def test_counter_stream_through_store_equals_batch(spark, tmp_path):
             if bdf.isEmpty():
                 return
             out = bdf.withColumnRenamed("series", "source")
-            store.append("counter_1h", out, store.next_commit_seq(), f"b{bid}")
+            # replay-stable idempotency key: at-least-once re-delivery
+            # of a micro-batch must NOT double-count an additive tier
+            store.append(
+                "counter_1h", out, store.next_commit_seq(), f"b{bid}",
+                idempotency_key=f"batch-{bid}",
+            )
 
         q = (
             stream.writeStream.foreachBatch(sink)
@@ -284,3 +289,27 @@ def test_additive_tier_sum_compaction(spark, tmp_path):
                       sum_cols=("increase",), expire_below=1)
     with _pytest.raises(ValueError, match="sum_cols"):
         store.compact("c1h", keys=("source", "bucket_start"), mode="sum")
+
+
+def test_append_idempotency_key_skips_replay(spark, tmp_path):
+    """At-least-once producer replays a batch: the second append with
+    the same idempotency_key is skipped, so the additive read stays
+    correct (without the key the replay would double-count)."""
+    from s1tiling_spark.plans.store import TierStore
+
+    store = TierStore(spark, str(tmp_path / "idem"))
+    schema = "source string, bucket_start timestamp, increase long, n_samples long"
+    rows = [("m1", datetime.fromisoformat("2024-01-01 10:00:00"), 10, 2)]
+    df = spark.createDataFrame(rows, schema)
+    n1 = store.append("c1h", df, store.next_commit_seq(), "b0", idempotency_key="batch-0")
+    assert n1 == 1
+    # replay: same key, new commit_seq -> skipped
+    n2 = store.append("c1h", df, store.next_commit_seq(), "b0", idempotency_key="batch-0")
+    assert n2 == 0
+    served = store.read_summed(
+        "c1h", keys=("source", "bucket_start"), sum_cols=("increase", "n_samples")
+    ).collect()
+    assert [(r["increase"], r["n_samples"]) for r in served] == [(10, 2)]
+    # a genuinely new batch still lands
+    n3 = store.append("c1h", df, store.next_commit_seq(), "b1", idempotency_key="batch-1")
+    assert n3 == 1
