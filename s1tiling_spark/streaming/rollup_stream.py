@@ -217,6 +217,9 @@ def streaming_cms_1h(
 
 EVENTS_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long"
 
+# the counter-sample stream shape consumed by stateful.counter_increase_stream
+EVENTS_COUNTER_SCHEMA = "series string, ts timestamp, order_id long, counter long"
+
 
 def streaming_sessionize(
     spark: SparkSession,
@@ -258,6 +261,54 @@ def streaming_sessionize(
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def run_counter_stream_into_store(
+    spark: SparkSession,
+    landing_dir: str,
+    store: TierStore,
+    checkpoint_dir: str,
+    tier: str = "counter_1h",
+    available_now: bool = True,
+):
+    """Drive the stateful counter-increase stream into an ADDITIVE
+    store tier via foreachBatch. Each micro-batch appends its
+    per-bucket increase PARTIALS; serving folds them with
+    ``store.read_summed(tier, keys=("series", "bucket_start"),
+    sum_cols=("increase", "n_samples"))``.
+
+    The append carries a replay-stable ``idempotency_key`` (the
+    batchId) — mandatory for additive tiers: an at-least-once replay
+    would otherwise double-count, since summing is exactly what the
+    read does. The e2e convergence proof (stream → store → additive
+    read == batch operator, across a reset) lives in
+    tests/test_stateful_stream.py."""
+    from s1tiling_spark.streaming.stateful import counter_increase_stream
+
+    stream = counter_increase_stream(
+        spark.readStream.schema(EVENTS_COUNTER_SCHEMA).parquet(landing_dir)
+    )
+    run_id = new_run_id()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append(
+            tier,
+            batch_df,
+            store.next_commit_seq(),
+            f"{run_id}-b{batch_id}",
+            idempotency_key=f"{checkpoint_dir}:b{batch_id}",
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_stream_into_store(

@@ -181,28 +181,14 @@ def test_counter_stream_through_store_equals_batch(spark, tmp_path):
     ]
 
     def run_once():
-        stream = counter_increase_stream(
-            spark.readStream.schema(COUNTER_IN_SCHEMA).parquet(landing)
+        # the library sink: appends partials with a replay-stable
+        # idempotency key (at-least-once re-delivery must NOT
+        # double-count an additive tier)
+        from s1tiling_spark.streaming.rollup_stream import (
+            run_counter_stream_into_store,
         )
 
-        def sink(bdf, bid):
-            if bdf.isEmpty():
-                return
-            out = bdf.withColumnRenamed("series", "source")
-            # replay-stable idempotency key: at-least-once re-delivery
-            # of a micro-batch must NOT double-count an additive tier
-            store.append(
-                "counter_1h", out, store.next_commit_seq(), f"b{bid}",
-                idempotency_key=f"batch-{bid}",
-            )
-
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = run_counter_stream_into_store(spark, landing, store, ckpt)
         q.awaitTermination(240)
 
     _write_counter_rows(spark, landing, batch1)
@@ -212,11 +198,11 @@ def test_counter_stream_through_store_equals_batch(spark, tmp_path):
 
     served = store.read_summed(
         "counter_1h",
-        keys=("source", "bucket_start"),
+        keys=("series", "bucket_start"),
         sum_cols=("increase", "n_samples"),
     )
     got = {
-        (r["source"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
+        (r["series"], str(r["bucket_start"])): (r["increase"], r["n_samples"])
         for r in served.collect()
     }
     full = spark.createDataFrame(
