@@ -34,4 +34,5 @@ from s1tiling_spark.catalog import (  # noqa: F401
     # beyond-§2 extras — MUST stay last (driver gate caps at 50)
     tpch,
     counters,
+    analytics_queries,
 )

@@ -1,0 +1,303 @@
+"""Serving-side analytics over the tier engine: LTTB visualization
+downsampling, rolling z-score anomaly ranking, seasonal hour-of-day
+baselines, interpolated histogram quantiles, and counter resets/gauge
+delta — the query families a metrics dashboard issues against a
+retention-tier store.
+
+BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations and
+``counters`` so they never compete with a §2 gate for the driver's
+50-entry correctness window — verify with
+``python tools/check_oracle.py lttb_6h anomaly_zscore_topk
+seasonal_hourly_profile histogram_quantile_1d counter_resets_1d``.
+
+Reference analog: the quicklook/preview downsample step
+(`/root/reference/s1tiling/libs/otbpipeline.py`, quicklook products)
+generalized to shape-preserving LTTB, and the monotonic-accumulate
+diff pattern (`/root/reference/s1tiling/libs/lia.py:1658-1683`)
+extended to the full PromQL counter family (increase/rate in
+``counters.py``; resets/delta here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.analytics import (
+    lttb_downsample,
+    lttb_sql,
+    rolling_zscore,
+    seasonal_profile,
+)
+from s1tiling_spark.operators.rollup import counter_resets
+from s1tiling_spark.operators.sketch import (
+    quantile_sketch_long,
+    sketch_quantiles_interp,
+)
+from s1tiling_spark.registry import register
+from s1tiling_spark.sources.sequences import (
+    SEQUENCES_ORACLE_CTE,
+    sequences_from_documents,
+)
+from s1tiling_spark.sources.tables import load_table
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+_LTTB_BUCKET_S = 6 * 3600  # 6h buckets: ~30-day fixture → ~120 pts/series
+
+
+@register(
+    "lttb_6h",
+    oracle=lttb_sql(
+        "events", ["event_type"], "ts", "round(value * 100)",
+        _LTTB_BUCKET_S, "event_id",
+    ),
+)
+def lttb_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return lttb_downsample(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        bucket_seconds=_LTTB_BUCKET_S,
+        id_col="event_id",
+    )
+
+
+# -- rolling z-score anomaly ranking ----------------------------------
+_ZW, _ZMIN, _ZTOP = 32, 12, 3
+
+_ZSCORE_ORACLE = f"""
+WITH y AS (
+  SELECT event_type, ts, event_id, value,
+         {_CENTS} AS _y
+  FROM events
+),
+m AS (
+  SELECT event_type, ts, event_id, value,
+         sum(_y)       OVER w AS s1,
+         sum(_y * _y)  OVER w AS s2,
+         count(_y)     OVER w AS n,
+         _y
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_ZW} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, ts, event_id, value,
+         CASE WHEN n >= {_ZMIN} AND n * s2 - s1 * s1 > 0 THEN
+           CAST(_y * n - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+         END AS z
+  FROM m
+),
+r AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value, z,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY abs(z) DESC, ts, event_id) AS rk
+  FROM z WHERE z IS NOT NULL
+)
+SELECT event_type, day, CAST(rk AS BIGINT) AS rk, ts, event_id, value, z
+FROM r WHERE rk <= {_ZTOP}
+"""
+
+
+@register("anomaly_zscore_topk", oracle=_ZSCORE_ORACLE)
+def anomaly_zscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 |z| samples per (series, day): the daily anomaly digest.
+    NULL z rows are filtered BEFORE ranking — Spark orders DESC nulls
+    last but DuckDB nulls first, so ranking over nullable z would
+    diverge between engines."""
+    ev = load_table(spark, "events", sf_dir)
+    scored = rolling_zscore(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        id_col="event_id",
+        window_n=_ZW,
+        min_periods=_ZMIN,
+    ).where(F.col("z").isNotNull())
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day).orderBy(
+        F.abs(F.col("z")).desc(), "ts", "event_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _ZTOP)
+        .select(
+            "event_type", day.alias("day"), "rk", "ts", "event_id",
+            "value", "z",
+        )
+    )
+
+
+# -- seasonal hour-of-day baseline census ------------------------------
+_KSIG = 2
+
+_SEASONAL_ORACLE = f"""
+WITH y AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, {_CENTS} AS _y
+  FROM events
+),
+m AS (
+  SELECT event_type, hod, _y,
+         CAST(sum(_y)      OVER g AS DOUBLE) AS s1,
+         CAST(sum(_y * _y) OVER g AS DOUBLE) AS s2,
+         CAST(count(_y)    OVER g AS DOUBLE) AS n
+  FROM y
+  WINDOW g AS (PARTITION BY event_type, hod)
+)
+SELECT event_type, hod,
+       CAST(max(n) AS BIGINT) AS n,
+       max(s1) / (max(n) * 100.0) AS baseline,
+       sqrt(max(n) * max(s2) - max(s1) * max(s1)) / (max(n) * 100.0) AS sd,
+       CAST(sum(CASE WHEN (CAST(_y AS DOUBLE) * n - s1) * (CAST(_y AS DOUBLE) * n - s1)
+                          > {float(_KSIG * _KSIG)} * (n * s2 - s1 * s1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM m GROUP BY 1, 2
+"""
+
+
+@register("seasonal_hourly_profile", oracle=_SEASONAL_ORACLE)
+def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return seasonal_profile(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        k_sigma=_KSIG,
+    )
+
+
+# -- interpolated histogram quantiles (Prometheus histogram_quantile) --
+_QW = 8
+_QCAP = 127
+
+
+def _hq_rank(p: int) -> str:
+    return f"({p} * total + 99) // 100"
+
+
+def _hq_col(p: int, out: str) -> str:
+    r = _hq_rank(p)
+    return (
+        f"min(CASE WHEN cum >= {r} AND cum - cnt < {r} THEN "
+        f"CAST(qbin * {_QW} AS DOUBLE) + {float(_QW)} * "
+        f"CAST({r} - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) END) "
+        f"AS {out}"
+    )
+
+
+_HQ_ORACLE = f"""
+WITH {SEQUENCES_ORACLE_CTE},
+sk AS (
+  SELECT date_trunc('day', event_ts) AS bucket_start, source,
+         CAST(least(n_tok // {_QW}, {_QCAP}) AS INT) AS qbin,
+         count(*) AS cnt
+  FROM sequences GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bucket_start, source, qbin, cnt,
+         sum(cnt) OVER (PARTITION BY bucket_start, source ORDER BY qbin) AS cum,
+         sum(cnt) OVER (PARTITION BY bucket_start, source) AS total
+  FROM sk
+)
+SELECT bucket_start, source,
+       {_hq_col(50, "p50_interp")},
+       {_hq_col(90, "p90_interp")},
+       {_hq_col(99, "p99_interp")}
+FROM cum GROUP BY 1, 2
+"""
+
+
+@register("histogram_quantile_1d", oracle=_HQ_ORACLE)
+def histogram_quantile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h sketches MERGED to 1d (bin-wise sum — the cascade shape),
+    then served as interpolated quantiles: the exact query a
+    Prometheus/Grafana latency panel runs against pre-aggregated
+    histogram tiers."""
+    seq = sequences_from_documents(spark, sf_dir)
+    sk1h = quantile_sketch_long(seq, "1h", width=_QW, cap=_QCAP)
+    sk1d = sk1h.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"),
+        "source",
+        "qbin",
+    ).agg(F.sum("cnt").alias("cnt"))
+    return sketch_quantiles_interp(
+        sk1d,
+        [(50, "p50_interp"), (90, "p90_interp"), (99, "p99_interp")],
+        width=_QW,
+    )
+
+
+# -- counter resets + gauge delta per day ------------------------------
+_MOD = 100_000  # same wrap as counters.counter_rate_1h
+
+_RESETS_ORACLE = f"""
+WITH cum AS (
+  SELECT event_type, ts, event_id, value,
+         sum({_CENTS}) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS cum
+  FROM events
+),
+lagd AS (
+  SELECT event_type, ts, value,
+         CAST(cum % {_MOD} AS BIGINT) AS counter,
+         lag(CAST(cum % {_MOD} AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM cum
+)
+SELECT event_type, date_trunc('day', ts) AS bucket_start,
+       CAST(sum(CASE WHEN prev IS NULL THEN NULL
+                     WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS resets,
+       CAST(count(CASE WHEN prev IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+         AS n_samples,
+       max(CASE WHEN rn_z = 1 THEN value END)
+         - max(CASE WHEN rn_a = 1 THEN value END) AS delta_gauge
+FROM lagd GROUP BY 1, 2
+"""
+
+
+@register("counter_resets_1d", oracle=_RESETS_ORACLE)
+def counter_resets_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``resets()`` over the derived wrap-around counter (same
+    construction as ``counter_rate_1h``) plus ``delta()`` over the raw
+    gauge (last - first value per day, via the OHLC struct-min/max
+    trick) — one row per (series, day)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ctr = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.pmod(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
+            F.lit(_MOD),
+        ).alias("counter"),
+    )
+    resets = counter_resets(
+        ctr,
+        keys=["event_type"],
+        ts_col="ts",
+        counter_col="counter",
+        tier="1d",
+        order_cols=("event_id",),
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))["value"]
+    last = F.max(F.struct("ts", "event_id", "value"))["value"]
+    delta = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bucket_start")
+    ).agg((last - first).alias("delta_gauge"))
+    return resets.join(delta, ["event_type", "bucket_start"]).select(
+        "event_type", "bucket_start", "resets", "n_samples", "delta_gauge"
+    )

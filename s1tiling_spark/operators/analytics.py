@@ -1,0 +1,301 @@
+"""Time-series analytics operators: visualization downsampling (LTTB),
+rolling anomaly detection, and seasonal-profile deviation census.
+
+These complete the retention-tier story on the serving side: a tier
+store answers "what happened", these answer "what should a dashboard
+draw" (LTTB — Steinarsson, 2013) and "what deviates" (rolling z-score,
+the 3-sigma rule; seasonal hour-of-day baselines). Reference analog:
+the quicklook/preview generation step (`/root/reference/s1tiling/libs/
+otbpipeline.py` quicklook products are a fixed-ratio downsample; LTTB
+is the shape-preserving generalization every metrics UI ships).
+
+Cross-engine determinism discipline (same as the sketch family): all
+selection/comparison arithmetic is INTEGER — value-cents, epoch
+microseconds, integer-floored anchor means — so Spark and the DuckDB
+oracle pick bit-identical winners at any parallelism. Doubles appear
+only in output columns, restricted to +,-,*,/,sqrt of exact integers
+(IEEE-identical in both engines).
+
+Scale shape: every operator here is ONE shuffle on its series key
+(window partitions and the groupBys share it); per-series state is
+O(1) or O(window). Series cardinality is the parallelism floor, as
+with counter_increase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# LTTB downsampling (Largest-Triangle-Three-Buckets), bucket-anchored
+# parallel variant.
+#
+# Classic LTTB is sequential: bucket i's choice depends on bucket
+# i-1's CHOSEN point, an O(n) chain that cannot fan out. The standard
+# parallel relaxation (used by M4/LTTB hybrids) anchors each bucket's
+# triangle on its NEIGHBOR BUCKETS' centroids instead of the previous
+# chosen point — every bucket then selects independently, which is
+# exactly a window + argmax in Spark. Semantics (deterministic, both
+# engines):
+#   x = epoch_us(ts), y = cents(value); bucket b = x div span_us
+#   anchor of a neighbor bucket = (its mid-time in us,
+#                                  floor(sum(y) / n))      -- integers
+#   area2(point) = |(ax-cx)(y-ay) - (ax-x)(cy-ay)|         -- integer
+#   winner: max area2, ties -> earliest (x, id)
+#   series-first bucket keeps its FIRST point, series-last its LAST
+#   (LTTB's keep-the-endpoints convention); neighbors are adjacent
+#   NON-EMPTY buckets (lag/lead over the bucket relation).
+#
+# Integer-overflow bound (DuckDB raises, it cannot silently wrap):
+# |area2| <= 2*span_us * max_cents * 2  — with 6h buckets and cents
+# up to 10^7 that is ~10^18 < 2^63. For wider buckets, downscale x to
+# milliseconds first; the argmax is scale-invariant.
+
+
+def lttb_downsample(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    bucket_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """One representative row per (series, bucket): the LTTB winner.
+
+    Output: ``*keys, bucket_start, <ts_col>, <id_col>, y_cents,
+    n_bucket, area2`` (``area2`` NULL on the endpoint buckets, which
+    select by position instead of area).
+    """
+    span_us = bucket_seconds * 1_000_000
+    pts = points.select(
+        *keys,
+        F.col(ts_col),
+        F.col(id_col),
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. Session tz
+        # is pinned UTC (session.py:84) so the cast is wall-clock
+        # identity and x == DuckDB's epoch_us over the same column.
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("x"),
+        cents_col.cast("long").alias("y"),
+    ).withColumn("b", F.expr(f"x div {span_us}"))
+
+    per_bucket = pts.groupBy(*keys, "b").agg(
+        F.count("*").alias("n_bucket"), F.sum("y").alias("sy")
+    )
+    wb = Window.partitionBy(*keys).orderBy("b")
+    mid = F.col("b") * F.lit(span_us) + F.lit(span_us // 2)
+    anchors = per_bucket.select(
+        *keys,
+        "b",
+        "n_bucket",
+        F.lag(mid).over(wb).alias("ax"),
+        F.lag(F.expr("sy div n_bucket")).over(wb).alias("ay"),
+        F.lead(mid).over(wb).alias("cx"),
+        F.lead(F.expr("sy div n_bucket")).over(wb).alias("cy"),
+    )
+
+    j = pts.join(anchors, [*keys, "b"])
+    area2 = F.abs(
+        (F.col("ax") - F.col("cx")) * (F.col("y") - F.col("ay"))
+        - (F.col("ax") - F.col("x")) * (F.col("cy") - F.col("ay"))
+    )
+    j = j.withColumn(
+        "area2",
+        F.when(F.col("ax").isNotNull() & F.col("cx").isNotNull(), area2),
+    )
+    wp = Window.partitionBy(*keys, "b")
+    rn_area = F.row_number().over(
+        wp.orderBy(F.desc("area2"), "x", id_col)
+    )
+    rn_first = F.row_number().over(wp.orderBy("x", id_col))
+    rn_last = F.row_number().over(
+        wp.orderBy(F.desc("x"), F.desc(id_col))
+    )
+    pick = (
+        F.when(F.col("ax").isNull(), rn_first)
+        .when(F.col("cx").isNull(), rn_last)
+        .otherwise(rn_area)
+    )
+    return (
+        j.withColumn("_rn", pick)
+        .where(F.col("_rn") == 1)
+        .select(
+            *keys,
+            # back to NTZ so the schema matches the source ts column
+            # (and DuckDB's make_timestamp, which is tz-naive)
+            F.timestamp_micros(F.col("b") * F.lit(span_us))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+            ts_col,
+            id_col,
+            F.col("y").alias("y_cents"),
+            "n_bucket",
+            "area2",
+        )
+    )
+
+
+def lttb_sql(
+    table: str,
+    keys: list[str],
+    ts_col: str,
+    cents_expr: str,
+    bucket_seconds: int,
+    id_col: str,
+) -> str:
+    """DuckDB oracle mirroring :func:`lttb_downsample` exactly (same
+    integer arithmetic, same tie-breaks)."""
+    span_us = bucket_seconds * 1_000_000
+    k = ", ".join(keys)
+    return f"""
+WITH pts AS (
+  SELECT {k}, {ts_col}, {id_col},
+         epoch_us({ts_col}) AS x,
+         CAST({cents_expr} AS BIGINT) AS y,
+         epoch_us({ts_col}) // {span_us} AS b
+  FROM {table}
+),
+pb AS (
+  SELECT {k}, b, count(*) AS n_bucket, sum(y) AS sy
+  FROM pts GROUP BY ALL
+),
+anch AS (
+  SELECT {k}, b, n_bucket,
+         lag(b * {span_us} + {span_us // 2})
+           OVER (PARTITION BY {k} ORDER BY b) AS ax,
+         lag(sy // n_bucket) OVER (PARTITION BY {k} ORDER BY b) AS ay,
+         lead(b * {span_us} + {span_us // 2})
+           OVER (PARTITION BY {k} ORDER BY b) AS cx,
+         lead(sy // n_bucket) OVER (PARTITION BY {k} ORDER BY b) AS cy
+  FROM pb
+),
+j AS (
+  SELECT pts.*, anch.n_bucket, anch.ax, anch.ay, anch.cx, anch.cy,
+         CASE WHEN ax IS NOT NULL AND cx IS NOT NULL THEN
+           abs((ax - cx) * (y - ay) - (ax - x) * (cy - ay))
+         END AS area2
+  FROM pts JOIN anch USING ({k}, b)
+),
+r AS (
+  SELECT j.*,
+         CASE
+           WHEN ax IS NULL THEN row_number() OVER (
+             PARTITION BY {k}, b ORDER BY x, {id_col})
+           WHEN cx IS NULL THEN row_number() OVER (
+             PARTITION BY {k}, b ORDER BY x DESC, {id_col} DESC)
+           ELSE row_number() OVER (
+             PARTITION BY {k}, b
+             ORDER BY area2 DESC NULLS LAST, x, {id_col})
+         END AS _rn
+  FROM j
+)
+SELECT {k}, make_timestamp(b * {span_us}) AS bucket_start,
+       {ts_col}, {id_col}, y AS y_cents, n_bucket, area2
+FROM r WHERE _rn = 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Rolling z-score anomaly detection (the 3-sigma rule over a trailing
+# window). The entire statistic reduces to ONE integer numerator and
+# ONE integer radicand:
+#     z = (y*n - s1) / sqrt(n*s2 - s1^2)
+# (population variance; derivation: mean = s1/n, var = (n*s2-s1^2)/n^2,
+# so (y-mean)/sd telescopes the n's away). s1/s2/n are trailing-window
+# integer sums of cents — exact and parallelism-invariant — and sqrt
+# of an exactly-representable integer is correctly rounded IEEE in
+# both engines, so z is bit-identical cross-engine. Int64 bound:
+# n*s2 <= W^2 * cents^2 — with the default W=32 that admits cents up
+# to ~9e7 (values to ~$900k), far past the data domain; W is a small
+# constant, so unlike the seasonal census this stays pure-integer.
+
+
+def rolling_zscore(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    id_col: str,
+    window_n: int = 32,
+    min_periods: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score per row (window EXCLUDES the current
+    row — the score compares a sample against its recent past, so a
+    lone spike cannot inflate its own baseline). z is NULL until
+    ``min_periods`` prior samples exist or when the window variance
+    is zero."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window_n, -1)
+    )
+    y = cents_col.cast("long")
+    df = points.withColumn("_y", y)
+    s1 = F.sum("_y").over(w)
+    s2 = F.sum(F.col("_y") * F.col("_y")).over(w)
+    n = F.count("_y").over(w)
+    num = F.col("_y") * n - s1
+    rad = n * s2 - s1 * s1
+    z = F.when(
+        (n >= F.lit(min_periods)) & (rad > 0),
+        num.cast("double") / F.sqrt(rad.cast("double")),
+    )
+    return df.withColumn("z", z).drop("_y")
+
+
+# ---------------------------------------------------------------------
+# Seasonal profile census: per (series, hour-of-day) integer moments
+# and a k-sigma deviation count. The outlier predicate is the squared
+# z-score cross-multiplied into integers:
+#     (y*n - s1)^2 > k^2 * (n*s2 - s1^2)
+# evaluated in doubles (products of exact integers — both engines
+# perform the identical IEEE multiplications, so the comparison is
+# deterministic at any scale, with no int64-overflow hazard).
+
+
+def seasonal_profile(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    k_sigma: int = 2,
+) -> DataFrame:
+    """Hour-of-day baseline per series: ``*keys, hod, n, baseline,
+    sd, n_outliers`` where baseline/sd are in original value units
+    and n_outliers counts rows beyond ``k_sigma`` deviations from
+    their own (series, hod) group."""
+    g = Window.partitionBy(*keys, "hod")
+    df = points.select(
+        *keys,
+        F.hour(F.col(ts_col)).alias("hod"),
+        cents_col.cast("long").alias("_y"),
+    )
+    # All moment algebra in DOUBLES built from exact integer window
+    # sums: s1/s2/n themselves stay exact int64 (linear sums), but the
+    # PRODUCTS (s1^2, n*s2) would overflow int64 on big groups —
+    # DuckDB raises on that — so both engines cast first and perform
+    # the identical IEEE multiplications.
+    s1 = F.sum("_y").over(g).cast("double")
+    s2 = F.sum(F.col("_y") * F.col("_y")).over(g).cast("double")
+    n = F.count("_y").over(g).cast("double")
+    num = F.col("_y").cast("double") * n - s1
+    rad = n * s2 - s1 * s1
+    outlier = (num * num) > (F.lit(float(k_sigma * k_sigma)) * rad)
+    return (
+        df.withColumn("_s1", s1)
+        .withColumn("_s2", s2)
+        .withColumn("_n", n)
+        .withColumn("_out", outlier)
+        .groupBy(*keys, "hod")
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            (F.max("_s1") / (F.max("_n") * F.lit(100.0))).alias(
+                "baseline"
+            ),
+            (
+                F.sqrt(F.max("_n") * F.max("_s2") - F.max("_s1") * F.max("_s1"))
+                / (F.max("_n") * F.lit(100.0))
+            ).alias("sd"),
+            F.sum(F.col("_out").cast("long")).alias("n_outliers"),
+        )
+    )

@@ -1,0 +1,245 @@
+"""Exact-value checks of the analytics operators (LTTB, rolling
+z-score, seasonal profile, interpolated sketch quantiles, counter
+resets) against pure-Python references on adversarial synthetic
+series — the cross-engine determinism claims (integer selection
+arithmetic, endpoint conventions, tie-breaks) are each exercised
+directly here; the DuckDB oracle parity is covered by the registered
+queries (`tools/check_oracle.py lttb_6h anomaly_zscore_topk
+seasonal_hourly_profile histogram_quantile_1d counter_resets_1d`)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1)
+
+
+def _mk_points(n_series=3, n=400):
+    """Deterministic, adversarial series: plateaus (area ties), spikes,
+    duplicate timestamps (id tie-break), empty stretches (non-adjacent
+    buckets)."""
+    rows = []
+    eid = 0
+    for s in range(n_series):
+        for i in range(n):
+            # gaps: series s skips a stretch of minutes → empty buckets
+            minute = i * 7 + (240 if (i // 40) % 3 == s % 3 else 0)
+            cents = (i * 2654435761 + s * 97) % 5000
+            if i % 17 == 0:
+                cents += 40000  # spike
+            if 100 <= i < 120:
+                cents = 1234  # plateau → area2 ties
+            ts = BASE + timedelta(minutes=minute)
+            rows.append((f"s{s}", ts, eid, int(cents)))
+            if i % 53 == 0:  # duplicate timestamp, distinct id
+                eid += 1
+                rows.append((f"s{s}", ts, eid, int(cents) + 3))
+            eid += 1
+    return rows
+
+
+def _lttb_reference(rows, span_s):
+    """Mirror of the bucket-anchored parallel LTTB semantics."""
+    span_us = span_s * 1_000_000
+    by_series = {}
+    for s, ts, eid, cents in rows:
+        x = int((ts - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        by_series.setdefault(s, []).append((x, eid, cents))
+    winners = {}
+    for s, pts in by_series.items():
+        buckets = {}
+        for x, eid, y in pts:
+            buckets.setdefault(x // span_us, []).append((x, eid, y))
+        order = sorted(buckets)
+        anchors = {}
+        for i, b in enumerate(order):
+            members = buckets[b]
+            n, sy = len(members), sum(y for _, _, y in members)
+            anchors[b] = (b * span_us + span_us // 2, sy // n)
+        for i, b in enumerate(order):
+            members = buckets[b]
+            if i == 0:
+                win = min(members, key=lambda m: (m[0], m[1]))
+            elif i == len(order) - 1:
+                win = max(members, key=lambda m: (m[0], m[1]))
+            else:
+                ax, ay = anchors[order[i - 1]]
+                cx, cy = anchors[order[i + 1]]
+                win = max(
+                    members,
+                    key=lambda m: (
+                        abs((ax - cx) * (m[2] - ay) - (ax - m[0]) * (cy - ay)),
+                        -m[0],
+                        -m[1],
+                    ),
+                )
+            winners[(s, b)] = win[1]  # id is the identity check
+    return winners
+
+
+def test_lttb_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import lttb_downsample
+
+    rows = _mk_points()
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    span_s = 3600
+    got = lttb_downsample(
+        df, keys=["s"], ts_col="ts", cents_col=F.col("cents"),
+        bucket_seconds=span_s, id_col="eid",
+    ).collect()
+    ref = _lttb_reference(rows, span_s)
+    got_map = {
+        (r["s"],
+         int((r["bucket_start"] - datetime(1970, 1, 1)).total_seconds())
+         // span_s): r["eid"]
+        for r in got
+    }
+    assert got_map == ref  # reference is keyed by (series, bucket index)
+    # endpoint convention: per series, first bucket keeps its earliest
+    # point and last bucket its latest
+    for s in {r[0] for r in rows}:
+        series = [r for r in rows if r[0] == s]
+        first = min(series, key=lambda r: (r[1], r[2]))
+        last = max(series, key=lambda r: (r[1], r[2]))
+        picked = {r["eid"] for r in got if r["s"] == s}
+        assert first[2] in picked and last[2] in picked
+
+
+def test_rolling_zscore_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import rolling_zscore
+
+    rows = _mk_points(n_series=2, n=120)
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    W, MINP = 16, 6
+    got = {
+        r["eid"]: r["z"]
+        for r in rolling_zscore(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"),
+            id_col="eid", window_n=W, min_periods=MINP,
+        ).collect()
+    }
+    by_series = {}
+    for s, ts, eid, cents in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_series.setdefault(s, []).append((eid, cents))
+    n_null = n_val = 0
+    for s, seq in by_series.items():
+        for i, (eid, y) in enumerate(seq):
+            win = [c for _, c in seq[max(0, i - W):i]]
+            n = len(win)
+            s1, s2 = sum(win), sum(c * c for c in win)
+            rad = n * s2 - s1 * s1
+            if n >= MINP and rad > 0:
+                exp = (y * n - s1) / math.sqrt(rad)
+                assert got[eid] == exp, (s, eid)
+                n_val += 1
+            else:
+                assert got[eid] is None, (s, eid)
+                n_null += 1
+    assert n_val > 100 and n_null > 10
+
+
+def test_seasonal_profile_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import seasonal_profile
+
+    rows = _mk_points(n_series=2, n=200)
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    K = 2
+    got = {
+        (r["s"], r["hod"]): (r["n"], r["baseline"], r["sd"], r["n_outliers"])
+        for r in seasonal_profile(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"), k_sigma=K,
+        ).collect()
+    }
+    groups = {}
+    for s, ts, _eid, cents in rows:
+        groups.setdefault((s, ts.hour), []).append(cents)
+    assert set(got) == set(groups)
+    for key, ys in groups.items():
+        n = float(len(ys))
+        s1, s2 = float(sum(ys)), float(sum(y * y for y in ys))
+        outliers = sum(
+            1 for y in ys
+            if (y * n - s1) * (y * n - s1) > K * K * (n * s2 - s1 * s1)
+        )
+        gn, gb, gsd, go = got[key]
+        assert gn == len(ys)
+        assert gb == s1 / (n * 100.0)
+        assert gsd == math.sqrt(n * s2 - s1 * s1) / (n * 100.0)
+        assert go == outliers, key
+
+
+def test_interp_quantiles_match_reference(spark):
+    from s1tiling_spark.operators.sketch import sketch_quantiles_interp
+
+    WIDTH = 8
+    # long-form sketch: 2 groups with lumpy bucket counts
+    sk = [
+        ("2024-01-01", "a", 0, 5), ("2024-01-01", "a", 3, 90),
+        ("2024-01-01", "a", 4, 1), ("2024-01-01", "a", 9, 4),
+        ("2024-01-01", "b", 1, 1),  # single tiny group: p50=p99 bucket
+        ("2024-01-02", "a", 2, 50), ("2024-01-02", "a", 7, 50),
+    ]
+    df = spark.createDataFrame(
+        [(datetime.fromisoformat(d), s, q, c) for d, s, q, c in sk],
+        "bucket_start timestamp, source string, qbin int, cnt long",
+    )
+    percents = [(50, "p50"), (90, "p90"), (99, "p99")]
+    got = {
+        (r["bucket_start"].isoformat(), r["source"]):
+            (r["p50"], r["p90"], r["p99"])
+        for r in sketch_quantiles_interp(df, percents, width=WIDTH).collect()
+    }
+    groups = {}
+    for d, s, q, c in sk:
+        groups.setdefault((d, s), []).append((q, c))
+    for (d, s), bins in groups.items():
+        bins.sort()
+        total = sum(c for _, c in bins)
+        exp = []
+        for p, _ in percents:
+            r = (p * total + 99) // 100
+            cum = 0
+            for q, c in bins:
+                if cum + c >= r and cum < r:
+                    exp.append(q * WIDTH + WIDTH * (r - cum) / c)
+                    break
+                cum += c
+        key = (datetime.fromisoformat(d).isoformat(), s)
+        assert got[key] == tuple(exp), key
+        # interpolated estimate stays inside its bucket's value range
+        for v in exp:
+            assert any(q * WIDTH <= v <= (q + 1) * WIDTH for q, _ in bins)
+
+
+def test_counter_resets_matches_reference(spark):
+    from s1tiling_spark.operators.rollup import counter_resets
+
+    # counters with wraps, plateaus, and a single-sample series
+    rows = []
+    eid = 0
+    for s, vals in (
+        ("a", [0, 5, 9, 2, 2, 7, 1, 1, 0, 50]),   # 3 resets
+        ("b", [10, 10, 10]),                        # none
+        ("c", [4]),                                 # no predecessor at all
+    ):
+        for i, v in enumerate(vals):
+            rows.append((s, BASE + timedelta(hours=6 * i), eid, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, ctr long")
+    got = {
+        (r["s"], r["bucket_start"].day): (r["resets"], r["n_samples"])
+        for r in counter_resets(
+            df, keys=["s"], ts_col="ts", counter_col="ctr", tier="1d",
+            order_cols=("eid",),
+        ).collect()
+    }
+    # day 1 of 'a': samples 0..3 → predecessors for 3 of them, 1 reset
+    assert got[("a", 1)] == (1, 3)
+    assert got[("a", 2)] == (1, 4)   # [2,7,1,1] preceded by 2 → one reset
+    assert got[("a", 3)] == (1, 2)   # [0,50] preceded by 1 → reset at 0
+    assert got[("b", 1)] == (0, 2)  # first sample has no predecessor
+    # a bucket whose every sample lacks a predecessor: NULL resets, 0 n
+    assert got[("c", 1)] == (None, 0)

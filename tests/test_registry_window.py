@@ -11,6 +11,11 @@ EXTRAS = {
     "forecast_revenue_change",
     "counter_rate_1h",
     "ohlc_1h",
+    "lttb_6h",
+    "anomaly_zscore_topk",
+    "seasonal_hourly_profile",
+    "histogram_quantile_1d",
+    "counter_resets_1d",
 }
 WINDOW = 50
 
