@@ -29,8 +29,11 @@ from s1tiling_spark.operators.analytics import (
     rolling_zscore,
     seasonal_profile,
 )
+from s1tiling_spark.catalog.counters import COUNTER_CTE, derived_counter
 from s1tiling_spark.operators.rollup import counter_resets
 from s1tiling_spark.operators.sketch import (
+    QSKETCH_CAP,
+    QSKETCH_WIDTH,
     quantile_sketch_long,
     sketch_quantiles_interp,
 )
@@ -172,8 +175,8 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- interpolated histogram quantiles (Prometheus histogram_quantile) --
-_QW = 8
-_QCAP = 127
+_QW = QSKETCH_WIDTH
+_QCAP = QSKETCH_CAP
 
 
 def _hq_rank(p: int) -> str:
@@ -233,19 +236,15 @@ def histogram_quantile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- counter resets + gauge delta per day ------------------------------
-_MOD = 100_000  # same wrap as counters.counter_rate_1h
+# counter construction SHARED with counters.counter_rate_1h
+# (COUNTER_CTE / derived_counter), so resets() is guaranteed to model
+# the same counter stream as increase()/rate()
 
 _RESETS_ORACLE = f"""
-WITH cum AS (
-  SELECT event_type, ts, event_id, value,
-         sum({_CENTS}) OVER (
-           PARTITION BY event_type ORDER BY ts, event_id) AS cum
-  FROM events
-),
+WITH {COUNTER_CTE},
 lagd AS (
-  SELECT event_type, ts, value,
-         CAST(cum % {_MOD} AS BIGINT) AS counter,
-         lag(CAST(cum % {_MOD} AS BIGINT)) OVER (
+  SELECT event_type, ts, value, counter,
+         lag(counter) OVER (
            PARTITION BY event_type ORDER BY ts, event_id) AS prev,
          row_number() OVER (
            PARTITION BY event_type, date_trunc('day', ts)
@@ -253,7 +252,7 @@ lagd AS (
          row_number() OVER (
            PARTITION BY event_type, date_trunc('day', ts)
            ORDER BY ts DESC, event_id DESC) AS rn_z
-  FROM cum
+  FROM ctr
 )
 SELECT event_type, date_trunc('day', ts) AS bucket_start,
        CAST(sum(CASE WHEN prev IS NULL THEN NULL
@@ -274,17 +273,7 @@ def counter_resets_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     gauge (last - first value per day, via the OHLC struct-min/max
     trick) — one row per (series, day)."""
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ctr = ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        "value",
-        F.pmod(
-            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
-            F.lit(_MOD),
-        ).alias("counter"),
-    )
+    ctr = derived_counter(ev)
     resets = counter_resets(
         ctr,
         keys=["event_type"],

@@ -27,21 +27,48 @@ from s1tiling_spark.operators.rollup import counter_increase
 from s1tiling_spark.registry import register
 from s1tiling_spark.sources.tables import load_table
 
-_MOD = 100_000  # counter wraps at 1000.00 value-units
+COUNTER_MOD = 100_000  # counter wraps at 1000.00 value-units
 
-_COUNTER_ORACLE = f"""
-WITH cum AS (
-  SELECT event_type, ts, event_id,
+# Shared derived-counter construction (Spark + oracle CTE) — imported
+# by `analytics_queries.counter_resets_1d` so resets() models the SAME
+# counter as increase()/rate(). The SQL wrap is ((x % m) + m) % m, the
+# pmod identity: DuckDB's plain `%` keeps the dividend's sign, so a
+# negative running cents sum (legal — `value` is an unconstrained
+# double) would diverge from Spark's pmod under bare `cum % m`.
+COUNTER_CTE = f"""cum AS (
+  SELECT event_type, ts, event_id, value,
          sum(CAST(round(value * 100) AS BIGINT)) OVER (
            PARTITION BY event_type ORDER BY ts, event_id
          ) AS cum
   FROM events
 ),
 ctr AS (
-  SELECT event_type, ts, event_id,
-         CAST(cum % {_MOD} AS BIGINT) AS counter
+  SELECT event_type, ts, event_id, value,
+         CAST(((cum % {COUNTER_MOD}) + {COUNTER_MOD}) % {COUNTER_MOD}
+              AS BIGINT) AS counter
   FROM cum
-),
+)"""
+
+
+def derived_counter(ev: DataFrame) -> DataFrame:
+    """events → (event_type, ts, event_id, value, counter): running
+    value-cents sum wrapped modulo ``COUNTER_MOD`` (pmod — always
+    non-negative, matching :data:`COUNTER_CTE`)."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.pmod(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
+            F.lit(COUNTER_MOD),
+        ).alias("counter"),
+    )
+
+
+_COUNTER_ORACLE = f"""
+WITH {COUNTER_CTE},
 lagd AS (
   SELECT event_type, ts, counter,
          lag(counter) OVER (
@@ -67,16 +94,7 @@ FROM d GROUP BY 1, 2
 @register("counter_rate_1h", oracle=_COUNTER_ORACLE)
 def counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ctr = ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.pmod(
-            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
-            F.lit(_MOD),
-        ).alias("counter"),
-    )
+    ctr = derived_counter(ev)
     return counter_increase(
         ctr,
         keys=["event_type"],

@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 # engines):
 #   x = epoch_us(ts), y = cents(value); bucket b = x div span_us
 #   anchor of a neighbor bucket = (its mid-time in us,
-#                                  floor(sum(y) / n))      -- integers
+#                                  sum(y) div n)           -- integers
+#   (`div` TRUNCATES toward zero in Spark and DuckDB alike — not a
+#   floor; they differ on negative sums, Python's // is the floor)
 #   area2(point) = |(ax-cx)(y-ay) - (ax-x)(cy-ay)|         -- integer
 #   winner: max area2, ties -> earliest (x, id)
 #   series-first bucket keeps its FIRST point, series-last its LAST

@@ -305,6 +305,24 @@ def distinct_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     return g.select("bucket_start", "source", est.alias("est_distinct"))
 
 
+def _with_cum_totals(sketch: DataFrame) -> DataFrame:
+    """Long-form sketch + running (``cum``) and group (``total``)
+    counts per (bucket_start, source) ordered by qbin — the shared
+    rank scaffolding of :func:`sketch_quantiles` and
+    :func:`sketch_quantiles_interp`."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("bucket_start", "source")
+        .orderBy("qbin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("bucket_start", "source")
+    return sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+
+
 def sketch_quantiles(
     sketch: DataFrame,
     percents: list[tuple[int, str]],
@@ -316,17 +334,7 @@ def sketch_quantiles(
     integer rank ceil(p·N/100) — computed with pure integer arithmetic
     ((p·N + 99) // 100), never p·N doubles, so both engines agree
     exactly."""
-    from pyspark.sql import Window
-
-    w_cum = (
-        Window.partitionBy("bucket_start", "source")
-        .orderBy("qbin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("bucket_start", "source")
-    cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "total", F.sum("cnt").over(w_all)
-    )
+    cum = _with_cum_totals(sketch)
     aggs = []
     for p, out in percents:
         # (p*N + 99) div 100 == ceil(p*N/100) — true INTEGRAL division
@@ -365,17 +373,7 @@ def sketch_quantiles_interp(
     engines produce the identical double (+,*,/ of exact ints are
     IEEE-deterministic).
     """
-    from pyspark.sql import Window
-
-    w_cum = (
-        Window.partitionBy("bucket_start", "source")
-        .orderBy("qbin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("bucket_start", "source")
-    cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "total", F.sum("cnt").over(w_all)
-    )
+    cum = _with_cum_totals(sketch)
     aggs = []
     for p, out in percents:
         rank = F.expr(f"({int(p)} * total + {100 - 1}) div 100")

@@ -20,14 +20,15 @@ BASE = datetime(2024, 1, 1)
 def _mk_points(n_series=3, n=400):
     """Deterministic, adversarial series: plateaus (area ties), spikes,
     duplicate timestamps (id tie-break), empty stretches (non-adjacent
-    buckets)."""
+    buckets), NEGATIVE values (exercises the div-truncates-toward-zero
+    anchor arithmetic, where Python's floor-// would diverge)."""
     rows = []
     eid = 0
     for s in range(n_series):
         for i in range(n):
             # gaps: series s skips a stretch of minutes → empty buckets
             minute = i * 7 + (240 if (i // 40) % 3 == s % 3 else 0)
-            cents = (i * 2654435761 + s * 97) % 5000
+            cents = (i * 2654435761 + s * 97) % 5000 - 2500
             if i % 17 == 0:
                 cents += 40000  # spike
             if 100 <= i < 120:
@@ -39,6 +40,13 @@ def _mk_points(n_series=3, n=400):
                 rows.append((f"s{s}", ts, eid, int(cents) + 3))
             eid += 1
     return rows
+
+
+def _tdiv(a, b):
+    """Truncation-toward-zero division — Spark `div` / DuckDB `//`
+    semantics; Python's `//` floors and diverges on negative sums."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
 
 
 def _lttb_reference(rows, span_s):
@@ -58,7 +66,7 @@ def _lttb_reference(rows, span_s):
         for i, b in enumerate(order):
             members = buckets[b]
             n, sy = len(members), sum(y for _, _, y in members)
-            anchors[b] = (b * span_us + span_us // 2, sy // n)
+            anchors[b] = (b * span_us + span_us // 2, _tdiv(sy, n))
         for i, b in enumerate(order):
             members = buckets[b]
             if i == 0:
