@@ -290,3 +290,58 @@ def counter_resets_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resets.join(delta, ["event_type", "bucket_start"]).select(
         "event_type", "bucket_start", "resets", "n_samples", "delta_gauge"
     )
+
+
+# -- cross-metric correlation ------------------------------------------
+# Pearson r per (series pair, day) over hour-aligned truncated-integer
+# mean anchors — "which metrics move together". Anchor = sum(cents)
+# div count stays bounded by max(cents) at ANY scale (a sum anchor
+# would overflow int64); moments are exact int64; Pearson runs in
+# doubles of those exact ints with the denominator split into two
+# sqrts (radicand product would overflow, and sqrt/mult/div of exact
+# ints are IEEE-identical cross-engine).
+
+_CORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS hb,
+         sum({_CENTS}) // count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT a.k AS et_a, b.k AS et_b,
+         date_trunc('day', a.hb) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy,
+         sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+  FROM hourly a JOIN hourly b ON a.hb = b.hb AND a.k < b.k
+  GROUP BY 1, 2, 3
+)
+SELECT et_a, et_b, bucket_start, n_buckets,
+       CASE WHEN sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM g
+"""
+
+
+@register("metric_correlation_1d", oracle=_CORR_ORACLE)
+def metric_correlation_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.analytics import metric_correlation
+
+    ev = load_table(spark, "events", sf_dir)
+    return metric_correlation(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        align_tier="1h",
+        out_tier="1d",
+    )

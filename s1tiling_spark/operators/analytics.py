@@ -301,3 +301,87 @@ def seasonal_profile(
             F.sum(F.col("_out").cast("long")).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Cross-metric correlation: Pearson r between every pair of series,
+# computed over integer anchor values aligned to a common time grid.
+# The PromQL/Grafana "which metrics move together" panel, and the
+# feature-selection primitive of every metrics warehouse.
+#
+# Determinism discipline: each series is first reduced to ONE exact
+# integer per (series, align bucket) — the truncated integer mean
+# sum(cents) div count, which stays bounded by max(cents) at ANY data
+# scale (a sum anchor would overflow int64 at ~3e9 rows/bucket). The
+# five moment sums (sx sy sxy sxx syy) over those anchors are exact
+# int64 (bounds: 24 anchors/day x (5.6e6 cents)^2 ~ 7.5e14 < 2^63).
+# Pearson then runs in doubles OF those exact ints:
+#     r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+# — identical IEEE ops in both engines (the denominator is split into
+# two sqrts so the radicand product never overflows), NULL when either
+# variance is zero or only one common bucket exists.
+#
+# Scale shape: one shuffle to the align grid, a self-equi-join ON the
+# grid bucket (fan-out = #series-pairs per bucket — the series
+# universe, not the row count), one groupBy (pair, day). At 100 TB the
+# join key stays the coarse grid, so skew is bounded by series
+# cardinality; AQE handles a hot bucket.
+
+
+def metric_correlation(
+    points: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cents_col: Column,
+    align_tier: str = "1h",
+    out_tier: str = "1d",
+) -> DataFrame:
+    """Pairwise Pearson correlation per (series_a < series_b,
+    out-tier bucket) over align-tier integer mean anchors. Output:
+    ``et_a, et_b, bucket_start, n_buckets, corr``."""
+    from s1tiling_spark.operators.rollup import bucket_col
+
+    from s1tiling_spark.operators.cache import persist_tracked
+
+    hourly = (
+        points.select(
+            F.col(key_col).alias("k"),
+            bucket_col(F.col(ts_col), align_tier).alias("hb"),
+            cents_col.cast("long").alias("_c"),
+        )
+        .groupBy("k", "hb")
+        # truncated integer mean (`div`) — the scale-bounded anchor
+        .agg(F.expr("sum(_c) div count(_c)").alias("v"))
+    )
+    # persist the O(series x grid) anchor relation: without it the
+    # self-join's broadcast side re-scans and re-aggregates the full
+    # input (two table scans at 100 TB for a KB-sized relation)
+    hourly = persist_tracked(hourly)
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    j = a.join(b, F.col("a.hb") == F.col("b.hb")).where(
+        F.col("a.k") < F.col("b.k")
+    )
+    g = j.groupBy(
+        F.col("a.k").alias("et_a"),
+        F.col("b.k").alias("et_b"),
+        bucket_col(F.col("a.hb"), out_tier).alias("bucket_start"),
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("a.v").alias("sx"),
+        F.sum("b.v").alias("sy"),
+        F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+        F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+    )
+    n = F.col("n_buckets").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.when(den > 0, (n * sxy - sx * sy) / den)
+    return g.select(
+        "et_a", "et_b", "bucket_start", "n_buckets", corr.alias("corr")
+    )

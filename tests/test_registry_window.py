@@ -16,6 +16,7 @@ EXTRAS = {
     "seasonal_hourly_profile",
     "histogram_quantile_1d",
     "counter_resets_1d",
+    "metric_correlation_1d",
 }
 WINDOW = 50
 
