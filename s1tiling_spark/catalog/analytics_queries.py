@@ -8,7 +8,8 @@ BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations and
 ``counters`` so they never compete with a §2 gate for the driver's
 50-entry correctness window — verify with
 ``python tools/check_oracle.py lttb_6h anomaly_zscore_topk
-seasonal_hourly_profile histogram_quantile_1d counter_resets_1d``.
+seasonal_hourly_profile histogram_quantile_1d counter_resets_1d
+metric_correlation_1d``.
 
 Reference analog: the quicklook/preview downsample step
 (`/root/reference/s1tiling/libs/otbpipeline.py`, quicklook products)
