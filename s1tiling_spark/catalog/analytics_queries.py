@@ -9,7 +9,7 @@ BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations and
 50-entry correctness window — verify with
 ``python tools/check_oracle.py lttb_6h anomaly_zscore_topk
 seasonal_hourly_profile histogram_quantile_1d counter_resets_1d
-metric_correlation_1d``.
+metric_correlation_1d threshold_alerts_1h``.
 
 Reference analog: the quicklook/preview downsample step
 (`/root/reference/s1tiling/libs/otbpipeline.py`, quicklook products)
@@ -345,4 +345,54 @@ def metric_correlation_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_col=F.round(F.col("value") * 100),
         align_tier="1h",
         out_tier="1d",
+    )
+
+
+# -- threshold alerting with hold duration (PromQL `for:` clause) ------
+_ALERT_T = 5000     # fire when value-cents > 5000 (value > 50.00)...
+_ALERT_FOR_S = 3600  # ...held across consecutive samples for >= 1h
+
+_ALERTS_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN {_CENTS} > {_ALERT_T} THEN 1 ELSE 0 END AS cond
+  FROM events
+),
+g AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id)
+       - row_number() OVER (
+           PARTITION BY event_type, cond ORDER BY ts, event_id) AS grp
+  FROM d
+),
+r AS (
+  SELECT event_type, min(ts) AS alert_start, max(ts) AS alert_end,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+           AS duration_us
+  FROM g WHERE cond = 1 GROUP BY event_type, grp
+)
+SELECT event_type, alert_start, alert_end, n_samples, duration_us
+FROM r WHERE duration_us >= {_ALERT_FOR_S * 1_000_000}
+"""
+
+
+@register("threshold_alerts_1h", oracle=_ALERTS_ORACLE)
+def threshold_alerts_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL alerting rule with a `for:` hold — maximal consecutive
+    runs of above-threshold samples whose exact-µs time span reaches
+    one hour. The rn-difference island trick; one shuffle on the
+    series key."""
+    from s1tiling_spark.operators.analytics import threshold_alerts
+
+    ev = load_table(spark, "events", sf_dir)
+    return threshold_alerts(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        threshold_cents=_ALERT_T,
+        for_duration_s=_ALERT_FOR_S,
+        id_col="event_id",
     )

@@ -385,3 +385,52 @@ def metric_correlation(
     return g.select(
         "et_a", "et_b", "bucket_start", "n_buckets", corr.alias("corr")
     )
+
+
+# ---------------------------------------------------------------------
+# Threshold alerting with a hold duration — PromQL's `for:` clause:
+# an alert FIRES when the condition holds on every consecutive sample
+# for at least `for_duration`. Sample-space islands (the classic
+# rn-difference trick: row_number over all rows minus row_number over
+# condition rows is constant within a consecutive run), then an exact
+# integer duration test in epoch microseconds. One shuffle on the
+# series key; both windows and the groupBy share it.
+
+
+def threshold_alerts(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    threshold_cents: int,
+    for_duration_s: int,
+    id_col: str,
+) -> DataFrame:
+    """Fired alert ranges per series: ``*keys, alert_start, alert_end,
+    n_samples, duration_us`` for every maximal consecutive run of
+    samples with cents > threshold whose time span reaches
+    ``for_duration_s`` (runs still pending at their last sample ARE
+    reported if they already held long enough — streaming semantics
+    would keep them open)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    df = points.withColumn("_y", cents_col.cast("long")).withColumn(
+        "_cond", (F.col("_y") > F.lit(int(threshold_cents))).cast("int")
+    )
+    wc = Window.partitionBy(*keys, "_cond").orderBy(ts_col, id_col)
+    df = df.withColumn(
+        "_grp", F.row_number().over(w) - F.row_number().over(wc)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    runs = (
+        df.where(F.col("_cond") == 1)
+        .groupBy(*keys, "_grp")
+        .agg(
+            F.min(ts_col).alias("alert_start"),
+            F.max(ts_col).alias("alert_end"),
+            F.count("*").cast("long").alias("n_samples"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )
+    return runs.where(
+        F.col("duration_us") >= F.lit(for_duration_s * 1_000_000)
+    ).select(*keys, "alert_start", "alert_end", "n_samples", "duration_us")

@@ -311,3 +311,39 @@ def test_metric_correlation_matches_reference(spark):
     # the real check
     assert abs(got[("a", "c", 1)][1] + 1.0) < 1e-12
     assert got[("a", "c", 2)][1] is None         # zero variance day
+
+
+def test_threshold_alerts_semantics(spark):
+    from s1tiling_spark.operators.analytics import threshold_alerts
+
+    T, FOR_S = 100, 3600
+    rows = []
+
+    def series(s, samples):
+        for i, (minute, y) in enumerate(samples):
+            rows.append((s, BASE + timedelta(minutes=minute), i, y))
+
+    # a: run of 3 highs spanning exactly 1h (fires, boundary
+    # inclusive), broken by a low, then a 2-sample 30-min run (too
+    # short), then a PENDING run at series end spanning 2h (fires)
+    series("a", [(0, 150), (30, 200), (60, 150), (61, 50),
+                 (90, 150), (120, 150), (121, 10),
+                 (150, 150), (210, 200), (270, 150)])
+    # b: single high sample (duration 0 — never fires), all-low tail
+    series("b", [(0, 500), (30, 50), (60, 50)])
+    # c: equal-to-threshold is NOT above (strict >)
+    series("c", [(0, 100), (30, 100), (60, 100)])
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    got = sorted(
+        (r["s"], r["alert_start"].minute + r["alert_start"].hour * 60,
+         r["alert_end"].minute + r["alert_end"].hour * 60,
+         r["n_samples"], r["duration_us"])
+        for r in threshold_alerts(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"),
+            threshold_cents=T, for_duration_s=FOR_S, id_col="eid",
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 60, 3, 3600 * 1_000_000),
+        ("a", 150, 270, 3, 7200 * 1_000_000),
+    ]

@@ -17,6 +17,7 @@ EXTRAS = {
     "histogram_quantile_1d",
     "counter_resets_1d",
     "metric_correlation_1d",
+    "threshold_alerts_1h",
 }
 WINDOW = 50
 
