@@ -124,6 +124,99 @@ class TierStore:
         atomic_json_write(os.path.join(self.base_dir, "_commit_seq.json"), {"seq": seq})
         return seq
 
+    # ---------- equality deletes ----------
+    def _deletes_path(self, tier: str) -> str:
+        # inside the tier dir, '_'-prefixed (no '=' in the name) so the
+        # table scan's hidden-path filter never lists it
+        return os.path.join(self.tier_path(tier), "_deletes")
+
+    def delete(
+        self,
+        tier: str,
+        keys_df: DataFrame,
+        commit_seq: int,
+        run_id: str,
+        keys: tuple[str, ...] = DEFAULT_KEYS,
+    ) -> int:
+        """Equality delete (Iceberg v2 delete-file analog): record that
+        every row version with ``commit_seq <= this delete's seq`` whose
+        key columns match a row of ``keys_df`` is masked. Appends a
+        small parquet of distinct key tuples + lineage into the tier's
+        hidden ``_deletes`` dir — data files are NEVER rewritten here
+        (that is ``compact``'s job).
+
+        Sequence-number masking semantics (Iceberg's delete-file
+        ``data_sequence_number`` rule): the delete masks only versions
+        committed BEFORE it, so a later ``append`` of the same key
+        re-inserts it and wins. Composes with time travel: a
+        ``read(as_of_seq=S)`` applies only deletes with seq <= S.
+
+        ``keys`` may be a PREFIX of a tier's natural key (e.g. delete
+        (bucket_start, source) from a long-form histogram tier masks
+        every bin of that group) — the mask joins on the delete file's
+        own columns. Returns the number of distinct key tuples
+        recorded. Reference analog: cache eviction / forced re-run of
+        an existing product (`/root/reference/s1tiling/libs/
+        S1FileManager.py:735-748`), as data-level DELETE semantics.
+        """
+        from pyspark.sql import Observation
+
+        out = (
+            keys_df.select(*keys)
+            .distinct()
+            .withColumn("commit_seq", F.lit(commit_seq))
+            .withColumn("run_id", F.lit(run_id))
+        )
+        obs = Observation(f"delete-{tier}-{commit_seq}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        tmp = self._deletes_path(tier) + f"_tmp_{uuid.uuid4().hex}"
+        out.write.mode("overwrite").parquet(tmp)
+        rows = int(obs.get["rows"])
+        if rows == 0:
+            shutil.rmtree(tmp)
+            return 0
+        dest = self._deletes_path(tier)
+        os.makedirs(dest, exist_ok=True)
+        for fn in os.listdir(tmp):
+            if fn.endswith(".parquet"):
+                # commit-seq prefix keeps part-file names collision-free
+                # across delete commits
+                os.rename(
+                    os.path.join(tmp, fn), os.path.join(dest, f"d{commit_seq}-{fn}")
+                )
+        shutil.rmtree(tmp)
+        return rows
+
+    def _read_deletes(self, tier: str, as_of_seq: int | None = None) -> DataFrame | None:
+        path = self._deletes_path(tier)
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        df = self.spark.read.parquet(path)
+        if as_of_seq is not None:
+            df = df.filter(F.col("commit_seq") <= int(as_of_seq))
+        return df
+
+    def _apply_delete_mask(
+        self, df: DataFrame, tier: str, as_of_seq: int | None = None
+    ) -> DataFrame:
+        """Row-level mask: drop versions with ``commit_seq <= the
+        newest matching delete``. Delete files are small (Iceberg's own
+        assumption for equality deletes) → broadcast left join; the
+        join keys are the delete file's OWN key columns, so group-level
+        deletes (key prefix) mask every row of the group."""
+        dels = self._read_deletes(tier, as_of_seq)
+        if dels is None:
+            return df
+        key_cols = [c for c in dels.columns if c not in ("commit_seq", "run_id")]
+        dmax = dels.groupBy(*key_cols).agg(F.max("commit_seq").alias("_del_seq"))
+        return (
+            df.join(F.broadcast(dmax), key_cols, "left")
+            .filter(F.col("_del_seq").isNull() | (F.col("commit_seq") > F.col("_del_seq")))
+            .drop("_del_seq")
+        )
+
     # ---------- data ----------
     def _committed_key_path(self, tier: str, key: str) -> str:
         safe = key.replace("/", "_").replace("=", "~")
@@ -245,13 +338,21 @@ class TierStore:
                 )
             df = df.filter(F.col("commit_seq") <= int(as_of_seq))
         if not deduped:
+            # the physical row-version view (compact / snapshots /
+            # additive folds): equality deletes are NOT applied here —
+            # read_summed masks at row level itself, compact applies
+            # them physically
             return df
         w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
-        return (
+        out = (
             df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
+        # newest-wins first, mask after: equivalent (the winner is the
+        # max seq — masked iff max <= del_seq either way) and the join
+        # then touches one row per key instead of every version
+        return self._apply_delete_mask(out, tier, as_of_seq)
 
     def read_summed(
         self,
@@ -280,6 +381,9 @@ class TierStore:
         df = self.read(tier, deduped=False, as_of_seq=as_of_seq)
         if df is None:
             return None
+        # additive tiers mask at ROW level (each partial <= the delete's
+        # seq is excluded from the fold; later partials keep summing)
+        df = self._apply_delete_mask(df, tier, as_of_seq)
         return df.groupBy(*keys).agg(*_sum_exprs(sum_cols))
 
     def snapshots(self, tier: str) -> DataFrame | None:
@@ -300,6 +404,124 @@ class TierStore:
             )
             .orderBy("commit_seq")
         )
+
+    # ---------- incremental / CDC ----------
+    def read_incremental(
+        self,
+        tier: str,
+        from_seq: int,
+        to_seq: int | None = None,
+        keys: tuple[str, ...] = DEFAULT_KEYS,
+    ) -> DataFrame | None:
+        """Incremental append scan (Iceberg ``incremental read``
+        analog): the NET upsert per key over commits in
+        ``(from_seq, to_seq]`` — the newest surviving, unmasked version
+        of every key touched in that range. A downstream consumer
+        (training-data export, cache refresh) applies these as upserts
+        instead of re-reading 10^12 rows; deletions are surfaced by
+        :meth:`changes`, not here.
+
+        Compaction-stability: requires ``to_seq >= min_as_of(tier)``
+        (raises otherwise). Proof that this suffices even though
+        compaction drops superseded versions: the in-range winner ``w``
+        of a key is lost only if some newer version ``v' > w`` with
+        ``v' <= horizon`` existed — but ``v' <= to_seq`` would make
+        ``v'`` the winner, so ``v' > to_seq``, i.e. ``horizon >
+        to_seq``. With ``to_seq >= horizon`` no net change is ever
+        lost. Equality deletes GC'd by compact are likewise safe here:
+        their masked versions were physically removed, which this
+        net-state scan reproduces.
+        """
+        to_eff = int(to_seq) if to_seq is not None else self.last_commit_seq()
+        from_seq = int(from_seq)
+        horizon = self.min_as_of(tier)
+        if to_eff < horizon:
+            raise ValueError(
+                f"tier {tier!r}: incremental read to_seq={to_eff} predates the "
+                f"compaction horizon min_as_of={horizon}; superseded versions "
+                "in that range were expired (net changes would be wrong)"
+            )
+        df = self.read(tier, deduped=False)
+        if df is None:
+            return None
+        df = df.filter(
+            (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_eff)
+        )
+        w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
+        out = (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        # deletes <= from_seq can never mask an in-range version
+        # (version > from_seq >= del_seq), so the as-of-bounded mask is
+        # exactly the range's own deletes
+        return self._apply_delete_mask(out, tier, to_eff)
+
+    def changes(
+        self,
+        tier: str,
+        from_seq: int,
+        to_seq: int | None = None,
+        keys: tuple[str, ...] = DEFAULT_KEYS,
+    ) -> DataFrame | None:
+        """CDC changelog (Iceberg ``create_changelog_view`` analog):
+        the row-level diff between the table state as of ``from_seq``
+        and as of ``to_seq``, one row per changed key with ``op`` in
+        {'insert', 'update', 'delete'}. Insert/update rows carry the
+        post-image, delete rows the pre-image (the deleted row).
+
+        Needs exact history at ``from_seq``, so it inherits
+        ``read(as_of_seq=...)``'s horizon check (raises past expired
+        history — never a silent wrong diff). Cost shape: only keys
+        TOUCHED in the range (a data version or a delete) can differ,
+        so both as-of states are pruned by a broadcast semi-join on
+        that (small) touched set before the full-outer diff — the
+        changelog costs O(touched), not O(table), exactly how Iceberg
+        derives it from range-scoped manifests.
+        """
+        to_eff = int(to_seq) if to_seq is not None else self.last_commit_seq()
+        from_seq = int(from_seq)
+        raw = self.read(tier, deduped=False)
+        if raw is None:
+            return None
+        in_range = (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_eff)
+        touched = raw.filter(in_range).select(*keys)
+        dels = self._read_deletes(tier)
+        if dels is not None:
+            dkeys = [c for c in dels.columns if c not in ("commit_seq", "run_id")]
+            # group-level deletes (key prefix) touch every row of the
+            # group — expand through a semi-join against the raw keys
+            touched = touched.unionByName(
+                raw.join(dels.filter(in_range).select(*dkeys), dkeys, "leftsemi")
+                .select(*keys)
+            )
+        touched = touched.distinct()
+        pre = self.read(tier, as_of_seq=from_seq)
+        post = self.read(tier, as_of_seq=to_eff)
+        pre = pre.join(F.broadcast(touched), list(keys), "leftsemi")
+        post = post.join(F.broadcast(touched), list(keys), "leftsemi")
+        val_cols = [c for c in post.columns if c not in keys]
+        pre_r = pre.select(
+            *keys, *[F.col(c).alias(f"_pre_{c}") for c in val_cols]
+        )
+        j = post.join(pre_r, list(keys), "full_outer")
+        op = (
+            F.when(F.col("_pre_commit_seq").isNull(), F.lit("insert"))
+            .when(F.col("commit_seq").isNull(), F.lit("delete"))
+            .when(F.col("commit_seq") != F.col("_pre_commit_seq"), F.lit("update"))
+        )
+        j = j.withColumn("op", op).filter(F.col("op").isNotNull())
+        # delete rows carry the pre-image (coalesce would be wrong: an
+        # update may legitimately null a column, and coalesce would
+        # resurrect the old value)
+        picked = [
+            F.when(F.col("op") == "delete", F.col(f"_pre_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ]
+        return j.select("op", *keys, *picked)
 
     # ---------- checkpoint ----------
     def read_watermarks(self, tier: str) -> DataFrame | None:
@@ -372,6 +594,11 @@ class TierStore:
         if not os.path.isdir(path):
             return
         for d in list(os.listdir(path)):
+            if d.startswith("_deletes_tmp_"):
+                # a crashed delete() left its staging dir: nothing was
+                # committed (files move only after the full write), drop
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                continue
             if not d.startswith("_stale_"):
                 continue
             # aside names encode '=' as '~' (a name containing '=' is
@@ -501,6 +728,25 @@ class TierStore:
             )
         if mode not in ("latest", "sum"):
             raise ValueError(f"unknown compact mode {mode!r}")
+        # Equality deletes: applied PHYSICALLY whenever history is being
+        # expired (expire_below=None — full latest expiry or sum fold):
+        # masked versions drop out of the rewrite and the delete files
+        # are GC'd afterwards. The horizon must then also cover the
+        # newest applied delete: a key whose ONLY version v is masked by
+        # delete D has no superseded versions (_nv == 1), yet an as-of
+        # read in [v, D) would legitimately see it — after the physical
+        # drop that read must raise, not silently answer empty.
+        # History-preserving compaction (integer expire_below) keeps
+        # deletes LOGICAL: an as-of read in [E, D) must still see a
+        # version that a physical apply would have removed.
+        dels = self._read_deletes(tier)
+        deletes_applied = dels is not None and expire_below is None
+        max_del_seq = 0
+        if deletes_applied:
+            max_del_seq = int(
+                dels.agg(F.max("commit_seq").alias("m")).first()["m"] or 0
+            )
+            raw = self._apply_delete_mask(raw, tier)
         # exact-horizon rule shared by sum mode and latest full expiry:
         # only keys that actually lose versions (_nv > 1) invalidate
         # snapshots, and only below their newest surviving seq
@@ -587,6 +833,11 @@ class TierStore:
         if new_horizon is None:
             h = vals.get("horizon")
             new_horizon = int(h) if h is not None else 0
+        if deletes_applied:
+            # fully-masked keys never reach the _nv observation (their
+            # every version was dropped pre-window) — the applied
+            # deletes' own seq is their horizon
+            new_horizon = max(new_horizon, max_del_seq)
         # Record the horizon BEFORE the destructive swap (review fix):
         # a crash mid-swap may already have expired history, and an
         # unrecorded horizon would let read(as_of_seq=...) silently
@@ -598,9 +849,8 @@ class TierStore:
         meta = self._read_compact_meta()
         meta[tier] = max(int(meta.get(tier, 0)), new_horizon)
         self._write_compact_meta(meta)
-        for part in os.listdir(tmp):
-            if not part.startswith("p_date="):
-                continue
+        tmp_parts = {p for p in os.listdir(tmp) if p.startswith("p_date=")}
+        for part in sorted(tmp_parts):
             dpart = os.path.join(path, part)
             # '=' encoded as '~': keeps the aside inside Spark's
             # hidden-path filter (a '_'-prefixed name containing '='
@@ -614,6 +864,27 @@ class TierStore:
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
+        if deletes_applied:
+            # a partition whose every row was masked is absent from the
+            # rewrite — its live dir must go too (aside-then-delete, the
+            # same crash discipline as the swap). ONLY under an applied
+            # delete: in any other mode a live partition missing from
+            # tmp would signal a bug, and destroying it silently is the
+            # one thing compact must never do.
+            for part in list(os.listdir(path)):
+                if part.startswith("p_date=") and part not in tmp_parts:
+                    aside = os.path.join(
+                        path,
+                        f"_stale_{part.replace('=', '~')}.{uuid.uuid4().hex[:8]}",
+                    )
+                    os.rename(os.path.join(path, part), aside)
+                    shutil.rmtree(aside, ignore_errors=True)
+            # applied deletes are spent: every masked version is gone
+            # and the horizon (recorded BEFORE the swap) covers their
+            # seqs, so as-of reads below them raise. A crash before
+            # this GC merely re-applies the mask to rows that no longer
+            # exist — idempotent.
+            shutil.rmtree(self._deletes_path(tier), ignore_errors=True)
         # AFTER the swap (unlike the horizon): losing this marker to a
         # crash only costs one redundant rewrite on the next scheduled
         # maybe_compact — conservative, never wrong

@@ -1,0 +1,266 @@
+"""Equality deletes (Iceberg v2 delete-file analog) + incremental /
+CDC reads on the TierStore.
+
+Sequence-number masking rule under test: a delete with commit_seq D
+masks exactly the row versions with commit_seq <= D for matching keys —
+a LATER append re-inserts the key and wins; time travel applies only
+the deletes visible at the requested horizon. Compaction applies
+deletes physically when it expires history (and raises the as-of
+horizon over them), but keeps them logical under history-preserving
+``expire_below``. ``read_incremental``/``changes`` are the incremental
+append scan and changelog view derived from the same lineage.
+
+Reference analog: forced re-run / cache eviction of an existing product
+(`/root/reference/s1tiling/libs/S1FileManager.py:735-748`), generalized
+to row-level DELETE with exact snapshot semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s1tiling_spark.operators.rollup import rollup_sequences
+from s1tiling_spark.plans.store import TierStore
+from s1tiling_spark.sources.synth import synth_sequences
+from tests.helpers import assert_frames_match
+
+
+@pytest.fixture()
+def seq(spark):
+    return synth_sequences(spark, 3000).cache()
+
+
+def _state(store, tier, **kw):
+    df = store.read(tier, **kw)
+    assert df is not None
+    drop = [c for c in ("commit_seq", "run_id", "p_date") if c in df.columns]
+    return df.drop(*drop).toPandas()
+
+
+def _hot_keys(store, tier):
+    return store.read(tier).filter(F.col("source") == "src_hot")
+
+
+def test_delete_masks_and_later_reinsert_wins(spark, seq, tmp_path):
+    """delete masks prior versions; as-of before the delete still sees
+    them; a later append of the same keys wins over the delete."""
+    store = TierStore(spark, str(tmp_path / "del"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    full_state = _state(store, "1d")
+
+    s2 = store.next_commit_seq()
+    n = store.delete("1d", _hot_keys(store, "1d"), s2, "run-del")
+    assert n > 0
+
+    masked = _state(store, "1d")
+    expect_masked = full.filter(F.col("source") != "src_hot").toPandas()
+    assert_frames_match(masked, expect_masked)
+    # time travel to before the delete sees the full table
+    assert_frames_match(_state(store, "1d", as_of_seq=s1), full_state)
+    # time travel AT the delete seq applies it
+    assert_frames_match(_state(store, "1d", as_of_seq=s2), expect_masked)
+
+    # re-insert the deleted keys: newer than the delete -> visible again
+    s3 = store.next_commit_seq()
+    store.append("1d", full.filter(F.col("source") == "src_hot"), s3, "run-3")
+    assert_frames_match(_state(store, "1d"), full_state)
+    # and the masked snapshot stays reconstructable
+    assert_frames_match(_state(store, "1d", as_of_seq=s2), expect_masked)
+
+
+def test_group_delete_key_prefix_masks_every_bin(spark, seq, tmp_path):
+    """A delete keyed on a PREFIX of a long-form tier's natural key
+    masks every row of the group (all bins of (bucket_start, source))."""
+    from s1tiling_spark.operators.rollup import token_hist_long
+
+    store = TierStore(spark, str(tmp_path / "grp"))
+    hist = token_hist_long(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("hist_1d", hist, s1, "run-1")
+    keys3 = ("bucket_start", "source", "bin")
+
+    s2 = store.next_commit_seq()
+    store.delete(
+        "hist_1d",
+        hist.filter(F.col("source") == "src_hot"),
+        s2,
+        "run-del",
+        keys=("bucket_start", "source"),
+    )
+    got = _state(store, "hist_1d", keys=keys3)
+    want = hist.filter(F.col("source") != "src_hot").toPandas()
+    assert_frames_match(got, want)
+
+
+def test_read_summed_masks_partials_row_level(spark, tmp_path):
+    """Additive tiers mask at row level: partials <= the delete's seq
+    drop out of the fold, later partials keep summing."""
+    store = TierStore(spark, str(tmp_path / "sum"))
+    mk = lambda a, b: spark.createDataFrame(
+        [("2024-01-01 00:00:00", "A", a), ("2024-01-01 00:00:00", "B", b)],
+        "bucket_start string, source string, cnt long",
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    s1 = store.next_commit_seq()
+    store.append("c", mk(10, 100), s1, "r1")
+    s2 = store.next_commit_seq()
+    store.append("c", mk(20, 200), s2, "r2")
+    s3 = store.next_commit_seq()
+    store.delete("c", mk(0, 0).filter("source = 'A'"), s3, "rdel")
+    s4 = store.next_commit_seq()
+    store.append("c", mk(40, 400), s4, "r4")
+
+    got = {
+        r["source"]: r["cnt"]
+        for r in store.read_summed("c", ("bucket_start", "source"), ("cnt",)).collect()
+    }
+    assert got == {"A": 40, "B": 700}
+    # as-of at the delete: A fully masked, B sums its two partials
+    got2 = {
+        r["source"]: r["cnt"]
+        for r in store.read_summed(
+            "c", ("bucket_start", "source"), ("cnt",), as_of_seq=s3
+        ).collect()
+    }
+    assert got2 == {"B": 300}
+
+
+def test_compact_applies_deletes_physically_and_raises_horizon(spark, seq, tmp_path):
+    """Full-expiry compact drops masked versions from the files, GCs
+    the delete files, and refuses as-of reads below the applied
+    delete's seq (which a physical apply makes unreconstructable)."""
+    store = TierStore(spark, str(tmp_path / "phys"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    s2 = store.next_commit_seq()
+    store.delete("1d", _hot_keys(store, "1d"), s2, "run-del")
+    before = _state(store, "1d")
+
+    stats = store.compact("1d")
+    assert stats["rows"] == len(before)
+    assert_frames_match(_state(store, "1d"), before)
+    # physically gone: the raw (unmasked) version view has no hot rows
+    raw = store.read("1d", deduped=False)
+    assert raw.filter(F.col("source") == "src_hot").isEmpty()
+    # delete files are spent and GC'd
+    assert not os.path.isdir(store._deletes_path("1d"))
+    # horizon covers the applied delete: the pre-delete snapshot is gone
+    assert store.min_as_of("1d") >= s2
+    with pytest.raises(ValueError, match="predates"):
+        store.read("1d", as_of_seq=s1)
+
+
+def test_compact_drops_fully_masked_partition(spark, seq, tmp_path):
+    """Deleting every key of one p_date then compacting removes that
+    partition directory entirely (not just its rows)."""
+    store = TierStore(spark, str(tmp_path / "part"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    first_date = full.agg(F.min(F.to_date("bucket_start"))).first()[0]
+    victims = store.read("1d").filter(F.to_date("bucket_start") == F.lit(first_date))
+    keep = full.filter(F.to_date("bucket_start") != F.lit(first_date))
+    s2 = store.next_commit_seq()
+    store.delete("1d", victims, s2, "run-del")
+
+    store.compact("1d")
+    parts = [p for p in os.listdir(store.tier_path("1d")) if p.startswith("p_date=")]
+    assert f"p_date={first_date}" not in parts
+    assert_frames_match(_state(store, "1d"), keep.toPandas())
+
+
+def test_expire_below_compact_keeps_deletes_logical(spark, seq, tmp_path):
+    """History-preserving compact (expire_below=E) must NOT apply
+    deletes physically: an as-of read in [E, delete_seq) still sees the
+    version a physical apply would have removed."""
+    store = TierStore(spark, str(tmp_path / "logical"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    full_state = _state(store, "1d")
+    s2 = store.next_commit_seq()
+    store.delete("1d", _hot_keys(store, "1d"), s2, "run-del")
+    masked_state = _state(store, "1d")
+
+    store.compact("1d", expire_below=s1)
+    assert os.path.isdir(store._deletes_path("1d"))  # still logical
+    assert_frames_match(_state(store, "1d"), masked_state)
+    # the [E, D) window: at s1 the delete (seq s2) is not yet visible
+    assert_frames_match(_state(store, "1d", as_of_seq=s1), full_state)
+    assert_frames_match(_state(store, "1d", as_of_seq=s2), masked_state)
+
+
+def test_read_incremental_net_change_survives_compaction(spark, seq, tmp_path):
+    """read_incremental(from) == the net winners of later commits;
+    identical before and after a full compact (winners keep their
+    original commit_seq), and refused when to_seq predates the
+    horizon (net changes below it are unreconstructable)."""
+    store = TierStore(spark, str(tmp_path / "incr"))
+    early = rollup_sequences(
+        seq.filter(F.col("event_ts") < "2024-01-20 00:00:00"), "1d"
+    )
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", early, s1, "run-1")
+    state1 = _state(store, "1d")
+    s2 = store.next_commit_seq()
+    store.append("1d", full, s2, "run-2")
+
+    inc = store.read_incremental("1d", from_seq=s1)
+    pdf = inc.drop("run_id", "p_date").toPandas()
+    assert (pdf["commit_seq"] == s2).all()
+    # applying the upserts onto the pre state reconstructs the post state
+    import pandas as pd
+
+    keys = ["bucket_start", "source"]
+    up = pdf.drop(columns=["commit_seq"])
+    merged = pd.concat([state1[~state1.set_index(keys).index.isin(up.set_index(keys).index)], up])
+    assert_frames_match(merged, _state(store, "1d"))
+
+    before = inc.drop("run_id", "p_date", "commit_seq").toPandas()
+    store.compact("1d")
+    after = (
+        store.read_incremental("1d", from_seq=s1)
+        .drop("run_id", "p_date", "commit_seq")
+        .toPandas()
+    )
+    assert_frames_match(after, before)
+    with pytest.raises(ValueError, match="predates"):
+        store.read_incremental("1d", from_seq=0, to_seq=max(store.min_as_of("1d") - 1, 0))
+
+
+def test_changes_emits_insert_update_delete_with_images(spark, tmp_path):
+    """Changelog ops over a crafted scenario: an update, an insert and
+    a delete in range; untouched keys absent; delete rows carry the
+    pre-image."""
+    store = TierStore(spark, str(tmp_path / "cdc"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "bucket_start string, source string, cnt long"
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    t = "2024-01-01 00:00:00"
+    s1 = store.next_commit_seq()
+    store.append("t", mk([(t, "A", 1), (t, "B", 2), (t, "C", 3)]), s1, "r1")
+    s2 = store.next_commit_seq()
+    store.append("t", mk([(t, "B", 20), (t, "D", 4)]), s2, "r2")
+    s3 = store.next_commit_seq()
+    store.delete("t", mk([(t, "C", 0)]), s3, "rdel")
+
+    ch = store.changes("t", from_seq=s1).select("op", "source", "cnt")
+    got = {(r["op"], r["source"], r["cnt"]) for r in ch.collect()}
+    assert got == {("update", "B", 20), ("insert", "D", 4), ("delete", "C", 3)}
+
+    # applying the changelog to the pre state reconstructs the post state
+    pre = store.read("t", as_of_seq=s1).select("source", "cnt").toPandas()
+    post = store.read("t").select("source", "cnt").toPandas()
+    out = {r["source"]: r["cnt"] for _, r in pre.iterrows()}
+    for op, src, cnt in got:
+        if op == "delete":
+            out.pop(src)
+        else:
+            out[src] = cnt
+    assert out == {r["source"]: r["cnt"] for _, r in post.iterrows()}
