@@ -396,3 +396,102 @@ def threshold_alerts_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         for_duration_s=_ALERT_FOR_S,
         id_col="event_id",
     )
+
+
+# -- PromQL deriv / predict_linear per (series, day) -------------------
+_PL_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+         (epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000000 AS x,
+         {_CENTS} AS y
+  FROM events
+),
+g AS (
+  SELECT event_type, bucket_start,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, bucket_start, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) * 3600 / 100 AS slope_per_hour,
+       (CAST(sy AS DOUBLE)
+         + CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)
+           * (CAST(n AS DOUBLE) * 86400.0 - CAST(sx AS DOUBLE)))
+         / CAST(n AS DOUBLE) / 100 AS predict_end
+FROM g WHERE n * sxx - sx * sx != 0
+"""
+
+
+@register("predict_linear_1d", oracle=_PL_ORACLE)
+def predict_linear_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv + predict_linear: per-(series, day) least-squares
+    slope over exact int64 moments, extrapolated to the day's end.
+    See operators.analytics.linear_fit for the exactness discipline."""
+    from s1tiling_spark.operators.analytics import linear_fit
+
+    ev = load_table(spark, "events", sf_dir)
+    return linear_fit(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        bucket="day",
+    )
+
+
+# -- ordered 3-step funnel (view -> click -> purchase) -----------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > t2.t2 GROUP BY 1
+),
+u AS (
+  SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+          LEFT JOIN t3 ON t1.user_id = t3.user_id
+)
+SELECT date_trunc('day', t1) AS cohort_day,
+       CAST(count(*) AS BIGINT) AS n_step1,
+       CAST(count(t2) AS BIGINT) AS n_step2,
+       CAST(count(t3) AS BIGINT) AS n_step3,
+       CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL
+                     THEN epoch_us(t2) - epoch_us(t1) END), 0) AS BIGINT)
+         AS lag12_us,
+       CAST(coalesce(sum(CASE WHEN t3 IS NOT NULL
+                     THEN epoch_us(t3) - epoch_us(t2) END), 0) AS BIGINT)
+         AS lag23_us,
+       CAST(count(t3) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_full
+FROM u GROUP BY 1
+"""
+
+
+@register("funnel_3step", oracle=_FUNNEL_ORACLE)
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel, cohorted by first-view day:
+    strict temporal ordering between steps, exact-µs lags, per-cohort
+    conversion. See operators.analytics.funnel for the plan shape."""
+    from s1tiling_spark.operators.analytics import funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        step_col="event_type",
+        steps=_FUNNEL_STEPS,
+    )

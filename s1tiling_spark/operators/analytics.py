@@ -434,3 +434,144 @@ def threshold_alerts(
     return runs.where(
         F.col("duration_us") >= F.lit(for_duration_s * 1_000_000)
     ).select(*keys, "alert_start", "alert_end", "n_samples", "duration_us")
+
+
+def linear_fit(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    bucket: str = "day",
+) -> DataFrame:
+    """PromQL ``deriv`` + ``predict_linear`` per (series, bucket):
+    least-squares line over (seconds-into-bucket, value-cents), emitting
+    the slope in value-units/hour and the extrapolated value at the
+    bucket's end.
+
+    Exactness discipline (the repo's cross-engine rule): the five
+    regression moments n, Σx, Σy, Σxy, Σx² are EXACT int64 aggregates —
+    x is integer seconds into the bucket (< 86 400), y integer cents —
+    so numerator ``n·Σxy − Σx·Σy`` and denominator ``n·Σx² − (Σx)²``
+    are exact integers and the only doubles are the final divisions,
+    identical IEEE ops in both engines. int64 headroom: n·Σx² <
+    2^63 up to n ≈ 3.5×10⁴ samples per (series, day); past that a
+    cluster deployment fits on the 1h tier's 24 pre-aggregated points
+    per day instead of raw samples (same operator, n=24). Groups whose
+    denominator is 0 (single sample, or all samples in one second —
+    slope undefined) are excluded, as PromQL's extrapolation is.
+
+    Reference analog: the LIA monotonic-accumulate fit
+    (`/root/reference/s1tiling/libs/lia.py:1658-1683`), generalized to
+    per-bucket regression; one shuffle on (keys, bucket).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    bkt = F.date_trunc(bucket, F.col(ts_col))
+    span_s = {"day": 86_400, "hour": 3_600}[bucket]
+    df = points.select(
+        *keys,
+        bkt.alias("bucket_start"),
+        (
+            (F.unix_micros(ts) - F.unix_micros(bkt.cast("timestamp")))
+        ).alias("_xus"),
+        cents_col.cast("long").alias("_y"),
+    ).withColumn("_x", F.expr("_xus div 1000000"))
+    g = df.groupBy(*keys, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    g = g.withColumn("_num", num).withColumn("_den", den).where(F.col("_den") != 0)
+    slope_cps = F.col("_num").cast("double") / F.col("_den").cast("double")
+    # same op order as the oracle SQL: ((num/den)*3600)/100
+    slope_vph = slope_cps * F.lit(3600.0) / F.lit(100.0)
+    predict = (
+        (
+            F.col("sy").cast("double")
+            + slope_cps
+            * (
+                F.col("n").cast("double") * F.lit(float(span_s))
+                - F.col("sx").cast("double")
+            )
+        )
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return g.select(
+        *keys,
+        "bucket_start",
+        "n",
+        slope_vph.alias("slope_per_hour"),
+        predict.alias("predict_end"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: tuple[str, str, str],
+) -> DataFrame:
+    """Ordered 3-step funnel with strict temporal ordering: per user,
+    the first ``steps[0]`` event, then the first ``steps[1]`` STRICTLY
+    after it, then the first ``steps[2]`` strictly after that; cohorts
+    aggregated by the day of the step-1 event.
+
+    Emits exact integers only (counts + summed exact-µs lags) plus one
+    derived conversion ratio — the repo's oracle-safe discipline.
+    Plan shape: three filtered aggregates joined on the user key — each
+    step's scan is pruned by a pushed ``step_col =`` predicate, the
+    per-user relations are grouped before joining (join input is
+    O(users), not O(events)), and AQE broadcasts the later (smaller)
+    stages. No window over the full event stream.
+    """
+    s1, s2, s3 = steps
+    t1 = (
+        events.where(F.col(step_col) == s1)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    t2 = (
+        events.where(F.col(step_col) == s2)
+        .join(t1, user_col)
+        .where(F.col(ts_col) > F.col("t1"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t2"))
+    )
+    t3 = (
+        events.where(F.col(step_col) == s3)
+        .join(t2, user_col)
+        .where(F.col(ts_col) > F.col("t2"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t3"))
+    )
+    u = t1.join(t2, user_col, "left").join(t3, user_col, "left")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        u.groupBy(F.date_trunc("day", "t1").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_step1"),
+            F.count("t2").alias("n_step2"),
+            F.count("t3").alias("n_step3"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("t2").isNotNull(), us("t2") - us("t1"))
+                ),
+                F.lit(0),
+            ).alias("lag12_us"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("t3").isNotNull(), us("t3") - us("t2"))
+                ),
+                F.lit(0),
+            ).alias("lag23_us"),
+        )
+        .withColumn(
+            "conv_full",
+            F.col("n_step3").cast("double") / F.col("n_step1").cast("double"),
+        )
+    )

@@ -347,3 +347,79 @@ def test_threshold_alerts_semantics(spark):
         ("a", 0, 60, 3, 3600 * 1_000_000),
         ("a", 150, 270, 3, 7200 * 1_000_000),
     ]
+
+
+def test_linear_fit_matches_reference(spark):
+    """Per-(series, day) least-squares over exact integer moments —
+    negative cents exercise the signed numerator; a single-sample day
+    and a same-second day must be excluded (denominator 0)."""
+    from s1tiling_spark.operators.analytics import linear_fit
+
+    rows = _mk_points(n_series=2, n=100)
+    # degenerate groups: one lone sample; one day with every sample in
+    # the same second (x identical -> den == 0)
+    deg_day = datetime(2024, 3, 1)
+    rows += [("deg1", deg_day, 90001, 500)]
+    rows += [("deg2", deg_day, 90002 + i, 100 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    got = {
+        (r["s"], r["bucket_start"]): (r["n"], r["slope_per_hour"], r["predict_end"])
+        for r in linear_fit(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"), bucket="day"
+        ).collect()
+    }
+    assert ("deg1", deg_day) not in got and ("deg2", deg_day) not in got
+
+    groups = {}
+    for s, ts, eid, cents in rows:
+        day = datetime(ts.year, ts.month, ts.day)
+        x = int((ts - day).total_seconds())  # positive -> floor == trunc
+        groups.setdefault((s, day), []).append((x, cents))
+    n_checked = 0
+    for (s, day), pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            assert (s, day) not in got
+            continue
+        slope = num / den
+        exp_slope = slope * 3600.0 / 100.0
+        exp_pred = (sy + slope * (n * 86400.0 - sx)) / n / 100.0
+        gn, gs, gp = got[(s, day)]
+        assert gn == n
+        assert gs == exp_slope and gp == exp_pred, (s, day)
+        n_checked += 1
+    assert n_checked >= 2
+
+
+def test_funnel_strict_ordering(spark):
+    """Strict step ordering: a step-2 event at or before the first
+    step-1 event must not count; re-ordering applies per user."""
+    from s1tiling_spark.operators.analytics import funnel
+
+    t = lambda m: BASE + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1 completes the funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2: click BEFORE first view -> no step2; purchase without click ignored
+        (2, t(3), "click"), (2, t(4), "view"), (2, t(8), "purchase"),
+        # u3: view then click, purchase exactly AT the click ts (strict >) -> no step3
+        (3, t(0), "view"), (3, t(2), "click"), (3, t(2), "purchase"),
+        # u4 never views -> not in any cohort
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel(
+        df, user_col="user_id", ts_col="ts", step_col="event_type",
+        steps=("view", "click", "purchase"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (3, 2, 1)
+    assert r["lag12_us"] == (5 - 0 + 2 - 0) * 60 * 1_000_000
+    assert r["lag23_us"] == (9 - 5) * 60 * 1_000_000
+    assert r["conv_full"] == 1 / 3

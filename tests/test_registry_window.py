@@ -18,6 +18,8 @@ EXTRAS = {
     "counter_resets_1d",
     "metric_correlation_1d",
     "threshold_alerts_1h",
+    "predict_linear_1d",
+    "funnel_3step",
 }
 WINDOW = 50
 
