@@ -495,3 +495,193 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_col="event_type",
         steps=_FUNNEL_STEPS,
     )
+
+
+# ---------------------------------------------------------------------
+# Time-weighted average (LOCF) per (event_type, day) — see
+# operators.analytics.time_weighted_avg for the exactness discipline.
+_TWA_ORACLE = f"""
+WITH p AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+         epoch_us(ts) AS x, event_id,
+         {_CENTS} AS y
+  FROM events
+),
+d AS (
+  SELECT event_type, bucket_start, x, y,
+         lead(x) OVER (
+           PARTITION BY event_type, bucket_start ORDER BY x, event_id
+         ) - x AS dur
+  FROM p
+)
+SELECT event_type, bucket_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(x) - min(x) AS BIGINT) AS span_us,
+       CAST(coalesce(sum(y * dur), 0) AS BIGINT) AS wsum_cents_us,
+       CASE WHEN max(x) - min(x) > 0 THEN
+         CAST(coalesce(sum(y * dur), 0) AS DOUBLE)
+         / CAST(max(x) - min(x) AS DOUBLE) / 100.0
+       END AS twa
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("time_weighted_avg_1d", oracle=_TWA_ORACLE)
+def time_weighted_avg_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.analytics import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir)
+    return time_weighted_avg(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        id_col="event_id",
+        bucket="day",
+    )
+
+
+# ---------------------------------------------------------------------
+# PromQL changes() per (event_type, hour) — the lag crosses bucket
+# boundaries (a transition counts in the sample that reveals it).
+_CHANGES_ORACLE = f"""
+WITH p AS (
+  SELECT event_type, ts, event_id, {_CENTS} AS y FROM events
+),
+l AS (
+  SELECT event_type, ts, y,
+         lag(y) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS prev
+  FROM p
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM l GROUP BY 1, 2
+"""
+
+
+@register("value_changes_1h", oracle=_CHANGES_ORACLE)
+def value_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.analytics import value_changes
+
+    ev = load_table(spark, "events", sf_dir)
+    return value_changes(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        cents_col=F.round(F.col("value") * 100),
+        id_col="event_id",
+        tier="1h",
+    )
+
+
+# ---------------------------------------------------------------------
+# Heartbeat / uptime SLA per (event_type, day): every event is a
+# liveness ping asserting the series alive for _LIVENESS_S seconds;
+# uptime is the measure of the merged-interval union clipped to the
+# day. The oracle mirrors the island merge with the same windows and
+# splats islands across days via CROSS JOIN range() + filter (the
+# correlated-unnest binder workaround; 4096 days ≈ 11 years bounds the
+# oracle only — the Spark side's F.sequence has no such cap).
+_LIVENESS_S = 240
+_DAY_US = 86_400 * 1_000_000
+
+_UPTIME_ORACLE = f"""
+WITH p AS (
+  SELECT event_type, epoch_us(ts) AS x, event_id FROM events
+),
+g AS (
+  SELECT event_type, x, event_id,
+         CASE WHEN lag(x) OVER w IS NULL
+                OR x - lag(x) OVER w > {_LIVENESS_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_isl
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)
+),
+i AS (
+  SELECT event_type, x,
+         sum(new_isl) OVER (
+           PARTITION BY event_type ORDER BY x, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS isl
+  FROM g
+),
+isl AS (
+  SELECT event_type, isl,
+         min(x) AS s, max(x) + {_LIVENESS_S * 1_000_000} AS e
+  FROM i GROUP BY 1, 2
+),
+days AS (
+  SELECT event_type, s, e, (s // {_DAY_US}) + r.range AS d
+  FROM isl CROSS JOIN range(0, 4096) r
+  WHERE (s // {_DAY_US}) + r.range <= (e - 1) // {_DAY_US}
+)
+SELECT event_type,
+       make_timestamp(d * {_DAY_US}) AS bucket_start,
+       CAST(sum(least(e, (d + 1) * {_DAY_US})
+                - greatest(s, d * {_DAY_US})) AS BIGINT) AS uptime_us,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(least(e, (d + 1) * {_DAY_US})
+                - greatest(s, d * {_DAY_US})) AS DOUBLE)
+         / {float(_DAY_US)} AS uptime_ratio
+FROM days GROUP BY 1, 2
+"""
+
+
+@register("uptime_sla_1d", oracle=_UPTIME_ORACLE)
+def uptime_sla_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.analytics import heartbeat_uptime
+
+    ev = load_table(spark, "events", sf_dir)
+    return heartbeat_uptime(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        id_col="event_id",
+        liveness_s=_LIVENESS_S,
+    )
+
+
+# ---------------------------------------------------------------------
+# Cohort retention matrix over day offsets (0, 1, 3, 7, 14) — exact
+# integer epoch-day differences, never engine datediff().
+_RETENTION_OFFSETS = (0, 1, 3, 7, 14)
+
+_RETENTION_ORACLE = f"""
+WITH f AS (
+  SELECT user_id AS u, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+),
+j AS (
+  SELECT f.cohort_day,
+         epoch_us(a.day) // {_DAY_US}
+           - epoch_us(f.cohort_day) // {_DAY_US} AS k_days
+  FROM a JOIN f USING (u)
+),
+r AS (
+  SELECT cohort_day, k_days, CAST(count(*) AS BIGINT) AS n_active
+  FROM j WHERE k_days IN {_RETENTION_OFFSETS} GROUP BY 1, 2
+),
+s AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM f GROUP BY 1
+)
+SELECT r.cohort_day, r.k_days, r.n_active, s.n_cohort,
+       CAST(r.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+FROM r JOIN s USING (cohort_day)
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s1tiling_spark.operators.analytics import retention_cohorts
+
+    ev = load_table(spark, "events", sf_dir)
+    return retention_cohorts(
+        ev, user_col="user_id", ts_col="ts", offsets=_RETENTION_OFFSETS
+    )

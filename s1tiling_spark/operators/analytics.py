@@ -575,3 +575,233 @@ def funnel(
             F.col("n_step3").cast("double") / F.col("n_step1").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Time-weighted average (LOCF weighting) — the continuous-aggregate
+# staple for irregularly-sampled gauges: a plain avg() over-weights
+# burst periods; the LOCF integral  Σ yᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first)
+# weights each sample by how long it was the live value. Semantics
+# match the within-bucket (non-interpolated) variant: the integral
+# runs from the bucket's first sample to its last; a single-sample
+# bucket has zero span and reports NULL (no duration to average over).
+#
+# Exactness: the weighted sum Σ cents·Δus is exact int64 (bound:
+# Σ Δus ≤ bucket span 8.64e10 µs × max cents — ~8.6e16 at $10k values,
+# far under 2^63); the only doubles are the final divisions. One
+# shuffle on (keys, bucket): the lead window and the groupBy share it.
+
+
+def time_weighted_avg(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per (series, bucket) LOCF time-weighted average. Output:
+    ``*keys, bucket_start, n_samples, span_us, wsum_cents_us, twa``
+    (``twa`` in original value units; NULL when the bucket has a
+    single sample or zero span)."""
+    x = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = points.select(
+        *keys,
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+        x.alias("_x"),
+        F.col(id_col).alias("_id"),
+        cents_col.cast("long").alias("_y"),
+    )
+    w = Window.partitionBy(*keys, "bucket_start").orderBy("_x", "_id")
+    df = df.withColumn("_dur", F.lead("_x").over(w) - F.col("_x"))
+    g = df.groupBy(*keys, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        (F.max("_x") - F.min("_x")).alias("span_us"),
+        F.coalesce(F.sum(F.col("_y") * F.col("_dur")), F.lit(0)).alias(
+            "wsum_cents_us"
+        ),
+    )
+    twa = F.when(
+        F.col("span_us") > 0,
+        F.col("wsum_cents_us").cast("double")
+        / F.col("span_us").cast("double")
+        / F.lit(100.0),
+    )
+    return g.select(
+        *keys, "bucket_start", "n_samples", "span_us", "wsum_cents_us",
+        twa.alias("twa"),
+    )
+
+
+# ---------------------------------------------------------------------
+# PromQL changes(): how many times a series' value actually changed
+# per bucket — the liveness/flappiness counterpart of increase(). The
+# lag runs over the FULL series (a change across a bucket boundary
+# counts in the later sample's bucket, exactly PromQL's convention of
+# attributing a transition to the sample that reveals it); counting is
+# then a plain bucketed aggregate. Pure integers → hash-exact gate.
+
+
+def value_changes(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: Column,
+    id_col: str,
+    tier: str = "1h",
+) -> DataFrame:
+    """Per (series, tier bucket): sample count and number of samples
+    whose value differs from the series' previous sample. Output:
+    ``*keys, bucket_start, n_samples, n_changes``."""
+    from s1tiling_spark.operators.rollup import bucket_col
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    df = points.withColumn("_y", cents_col.cast("long")).withColumn(
+        "_prev", F.lag("_y").over(w)
+    )
+    changed = (
+        F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_y"))
+    ).cast("long")
+    return (
+        df.groupBy(*keys, bucket_col(F.col(ts_col), tier).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(changed).alias("n_changes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Heartbeat / uptime aggregation: given liveness pings, each ping
+# asserts the series alive for `liveness_s` seconds; per-day uptime is
+# the measure of the UNION of those intervals intersected with the
+# day. Two steps, both classic: (1) merge overlapping intervals into
+# islands (gap > L starts a new island — a running sum over the gap
+# flag, one window), (2) split each island across the days it touches
+# (F.sequence over integer day indexes + explode — an island touches
+# O(days) buckets, so the explode fan-out is bounded by calendar time,
+# not row count) and clip. All arithmetic in exact epoch-µs integers;
+# the ratio is the only double. One shuffle on the series key, one on
+# (series, day).
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+def heartbeat_uptime(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    liveness_s: int,
+) -> DataFrame:
+    """Per (series, day) uptime from heartbeat pings. Output: ``*keys,
+    bucket_start, uptime_us, n_islands, uptime_ratio`` — ``n_islands``
+    counts merged liveness intervals intersecting the day."""
+    live_us = liveness_s * 1_000_000
+    x = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = points.select(*keys, x.alias("_x"), F.col(id_col).alias("_id"))
+    w = Window.partitionBy(*keys).orderBy("_x", "_id")
+    df = df.withColumn("_prev", F.lag("_x").over(w)).withColumn(
+        "_new",
+        (
+            F.col("_prev").isNull()
+            | ((F.col("_x") - F.col("_prev")) > F.lit(live_us))
+        ).cast("long"),
+    )
+    # running island id — same window, so still the one series shuffle
+    df = df.withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = df.groupBy(*keys, "_isl").agg(
+        F.min("_x").alias("_s"), (F.max("_x") + F.lit(live_us)).alias("_e")
+    )
+    # day indexes the island touches: floor(s/DAY) .. floor((e-1)/DAY)
+    # (e is exclusive). Heartbeat timestamps are non-negative epochs, so
+    # integer `div` IS the floor here.
+    days = islands.withColumn(
+        "_d",
+        F.explode(
+            F.sequence(
+                F.expr(f"_s div {DAY_US}"), F.expr(f"(_e - 1) div {DAY_US}")
+            )
+        ),
+    )
+    d0 = F.col("_d") * F.lit(DAY_US)
+    covered = F.least(F.col("_e"), d0 + F.lit(DAY_US)) - F.greatest(
+        F.col("_s"), d0
+    )
+    return (
+        days.withColumn("_cov", covered)
+        .groupBy(
+            *keys,
+            F.timestamp_micros(d0)
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+        )
+        .agg(
+            F.sum("_cov").alias("uptime_us"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .withColumn(
+            "uptime_ratio",
+            F.col("uptime_us").cast("double") / F.lit(float(DAY_US)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Cohort retention: assign every user to the day of their FIRST event
+# (the cohort), then count how many of each cohort were active again
+# k days later — the engagement matrix every product-analytics store
+# ships. Day offsets are exact integer epoch-day differences (never
+# engine datediff(), whose unit conventions differ). Plan shape: two
+# aggregates (first-day per user, distinct active (user, day)) joined
+# on the user key — join input is O(users × active-days), the cohort
+# relation is O(days) and broadcast into the final ratio join.
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    offsets: tuple[int, ...] = (0, 1, 3, 7, 14),
+) -> DataFrame:
+    """Per (cohort day, day offset k): distinct users active exactly k
+    days after their first event, with the cohort size and retention
+    ratio. Output: ``cohort_day, k_days, n_active, n_cohort,
+    retention``."""
+    day = F.date_trunc("day", F.col(ts_col))
+    day_idx = F.expr(f"unix_micros(CAST(_day AS TIMESTAMP)) div {DAY_US}")
+
+    first = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_day"))
+        .groupBy("_u")
+        .agg(F.min("_day").alias("cohort_day"))
+    )
+    active = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_day"))
+        .distinct()
+        .withColumn("_di", day_idx)
+    )
+    cohort_idx = F.expr(
+        f"unix_micros(CAST(cohort_day AS TIMESTAMP)) div {DAY_US}"
+    )
+    j = active.join(first, "_u").withColumn(
+        "k_days", F.col("_di") - cohort_idx
+    )
+    j = j.where(F.col("k_days").isin(*[int(k) for k in offsets]))
+    ret = j.groupBy("cohort_day", "k_days").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    out = ret.join(F.broadcast(sizes), "cohort_day")
+    return out.select(
+        "cohort_day",
+        "k_days",
+        "n_active",
+        "n_cohort",
+        (
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double")
+        ).alias("retention"),
+    )

@@ -423,3 +423,172 @@ def test_funnel_strict_ordering(spark):
     assert r["lag12_us"] == (5 - 0 + 2 - 0) * 60 * 1_000_000
     assert r["lag23_us"] == (9 - 5) * 60 * 1_000_000
     assert r["conv_full"] == 1 / 3
+
+
+def _epoch_us(ts):
+    return int((ts - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def test_time_weighted_avg_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import time_weighted_avg
+
+    rows = _mk_points(n_series=2, n=150)
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    got = {
+        (r["s"], r["bucket_start"]): (
+            r["n_samples"], r["span_us"], r["wsum_cents_us"], r["twa"]
+        )
+        for r in time_weighted_avg(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"),
+            id_col="eid", bucket="day",
+        ).collect()
+    }
+    by_grp = {}
+    for s, ts, eid, cents in rows:
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        by_grp.setdefault((s, day), []).append((_epoch_us(ts), eid, cents))
+    assert len(got) == len(by_grp)
+    n_single = 0
+    for key, pts in by_grp.items():
+        pts.sort()
+        span = pts[-1][0] - pts[0][0]
+        wsum = sum(
+            y * (pts[i + 1][0] - x) for i, (x, _, y) in enumerate(pts[:-1])
+        )
+        twa = wsum / span / 100.0 if span > 0 else None
+        assert got[key] == (len(pts), span, wsum, twa), key
+        n_single += span == 0
+    # the fixture must exercise both branches
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_value_changes_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import value_changes
+
+    rows = _mk_points(n_series=2, n=150)
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    got = {
+        (r["s"], r["bucket_start"]): (r["n_samples"], r["n_changes"])
+        for r in value_changes(
+            df, keys=["s"], ts_col="ts", cents_col=F.col("cents"),
+            id_col="eid", tier="1h",
+        ).collect()
+    }
+    by_series = {}
+    for s, ts, eid, cents in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_series.setdefault(s, []).append((ts, cents))
+    ref = {}
+    for s, seq in by_series.items():
+        prev = None
+        for ts, y in seq:
+            hour = ts.replace(minute=0, second=0, microsecond=0)
+            n, c = ref.get((s, hour), (0, 0))
+            ref[(s, hour)] = (n + 1, c + (prev is not None and prev != y))
+            prev = y
+    assert got == ref
+    assert sum(c for _, c in got.values()) > 50  # changes actually occur
+
+
+def test_heartbeat_uptime_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import DAY_US, heartbeat_uptime
+
+    # pings with deliberate gaps, a burst, duplicate timestamps, and an
+    # island that crosses midnight (the day-splatting path)
+    L = 600  # seconds
+    rows = []
+    eid = 0
+    for s in range(2):
+        t = BASE + timedelta(hours=22, minutes=s)
+        for i in range(300):
+            step = [60, 60, 60, 3600, 120][i % 5] + s * 7
+            t = t + timedelta(seconds=step)
+            rows.append((f"s{s}", t, eid))
+            eid += 1
+            if i % 37 == 0:  # duplicate ts
+                rows.append((f"s{s}", t, eid))
+                eid += 1
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long")
+    got = {
+        (r["s"], r["bucket_start"]): (
+            r["uptime_us"], r["n_islands"], r["uptime_ratio"]
+        )
+        for r in heartbeat_uptime(
+            df, keys=["s"], ts_col="ts", id_col="eid", liveness_s=L
+        ).collect()
+    }
+    # reference: merge intervals then clip per day
+    live_us = L * 1_000_000
+    ref = {}
+    by_series = {}
+    for s, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_series.setdefault(s, []).append(_epoch_us(ts))
+    for s, xs in by_series.items():
+        islands = []
+        for x in xs:
+            if islands and x - islands[-1][1] <= live_us:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], x))
+            else:
+                islands.append((x, x))
+        for s0, last in islands:
+            e = last + live_us
+            for d in range(s0 // DAY_US, (e - 1) // DAY_US + 1):
+                cov = min(e, (d + 1) * DAY_US) - max(s0, d * DAY_US)
+                day = datetime(1970, 1, 1) + timedelta(microseconds=d * DAY_US)
+                u, n = ref.get((s, day), (0, 0))
+                ref[(s, day)] = (u + cov, n + 1)
+    assert set(got) == set(ref)
+    for k, (u, n) in ref.items():
+        assert got[k] == (u, n, u / DAY_US), k
+    # at least one island must cross midnight for the splat to be real
+    assert any(n > 0 and u < DAY_US and k[1].hour == 0 for k, (u, n) in ref.items())
+    assert len({k[1] for k in ref}) >= 2
+
+
+def test_retention_cohorts_matches_reference(spark):
+    from s1tiling_spark.operators.analytics import retention_cohorts
+
+    # users joining on different days, some churning, some returning
+    rows = []
+    eid = 0
+    for u in range(30):
+        join_day = u % 5
+        active_days = {join_day} | {
+            join_day + k for k in (1, 3, 7, 14) if (u + k) % 3 != 0
+        }
+        for d in sorted(active_days):
+            for h in (9, 15):
+                rows.append(
+                    (eid, BASE + timedelta(days=d, hours=h, minutes=u), u)
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    offsets = (0, 1, 3, 7, 14)
+    got = {
+        (r["cohort_day"], r["k_days"]): (
+            r["n_active"], r["n_cohort"], r["retention"]
+        )
+        for r in retention_cohorts(
+            df, user_col="user_id", ts_col="ts", offsets=offsets
+        ).collect()
+    }
+    first = {}
+    active = set()
+    for eid, ts, u in rows:
+        d = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        first[u] = min(first.get(u, d), d)
+        active.add((u, d))
+    sizes = {}
+    for u, d in first.items():
+        sizes[d] = sizes.get(d, 0) + 1
+    ref = {}
+    for u, d in active:
+        k = (d - first[u]).days
+        if k in offsets:
+            key = (first[u], k)
+            ref[key] = ref.get(key, 0) + 1
+    assert set(got) == set(ref)
+    for key, n in ref.items():
+        sz = sizes[key[0]]
+        assert got[key] == (n, sz, n / sz), key
+    # churn must actually thin the cohorts
+    assert any(n < sizes[d] for (d, k), n in ref.items() if k > 0)

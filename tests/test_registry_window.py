@@ -20,6 +20,10 @@ EXTRAS = {
     "threshold_alerts_1h",
     "predict_linear_1d",
     "funnel_3step",
+    "time_weighted_avg_1d",
+    "value_changes_1h",
+    "uptime_sla_1d",
+    "retention_cohorts",
 }
 WINDOW = 50
 
