@@ -14,6 +14,9 @@ Subcommands:
              --expire-below E keeps snapshots >= E readable (0 = pure
              file compaction, full time travel)
   snapshots  list commits still present in a tier (time-travel catalog)
+  rollback   void commits after a snapshot for current reads
+             (Iceberg rollback_to_snapshot; metadata-only)
+  tag        named snapshot refs: set | list | drop
   metrics    dump the metrics table
   index      persistent ANN index lifecycle: build | append | status |
              compact over an embeddings parquet (vec_id, embedding)
@@ -104,6 +107,22 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument("--store", required=True)
     snap.add_argument("--tier", required=True)
 
+    rb = sub.add_parser(
+        "rollback",
+        help="void commits after a snapshot for current reads "
+        "(metadata-only; the next full compact applies it physically)",
+    )
+    rb.add_argument("--store", required=True)
+    rb.add_argument("--tier", required=True)
+    rb.add_argument("--to-seq", type=int, required=True)
+
+    tg = sub.add_parser("tag", help="named snapshot refs: set | list | drop")
+    tg.add_argument("action", choices=("set", "list", "drop"))
+    tg.add_argument("--store", required=True)
+    tg.add_argument("--name", help="tag name (set/drop)")
+    tg.add_argument("--seq", type=int, default=None, help="default: current")
+    tg.add_argument("--replace", action="store_true")
+
     vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
     vidx.add_argument("action", choices=("build", "append", "status", "compact"))
     vidx.add_argument("--index", required=True, help="index base dir")
@@ -182,6 +201,28 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps({"min_as_of": store.min_as_of(args.tier)}),
                 file=sys.stderr,
             )
+        elif args.cmd == "rollback":
+            from s1tiling_spark.plans.store import TierStore
+
+            print(
+                json.dumps(
+                    TierStore(spark, args.store).rollback(args.tier, args.to_seq)
+                )
+            )
+        elif args.cmd == "tag":
+            from s1tiling_spark.plans.store import TierStore
+
+            store = TierStore(spark, args.store)
+            if args.action == "list":
+                print(json.dumps(store.tags()))
+            elif not args.name:
+                raise SystemExit("tag set/drop requires --name")
+            elif args.action == "set":
+                seq = store.tag(args.name, seq=args.seq, replace=args.replace)
+                print(json.dumps({"name": args.name, "seq": seq}))
+            else:
+                store.drop_tag(args.name)
+                print(json.dumps({"dropped": args.name}))
         elif args.cmd == "index":
             from s1tiling_spark.plans.vector_index import VectorIndex
 

@@ -35,4 +35,5 @@ from s1tiling_spark.catalog import (  # noqa: F401
     tpch,
     counters,
     analytics_queries,
+    store_queries,
 )

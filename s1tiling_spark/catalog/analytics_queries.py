@@ -9,7 +9,9 @@ BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations and
 50-entry correctness window — verify with
 ``python tools/check_oracle.py lttb_6h anomaly_zscore_topk
 seasonal_hourly_profile histogram_quantile_1d counter_resets_1d
-metric_correlation_1d threshold_alerts_1h``.
+metric_correlation_1d threshold_alerts_1h predict_linear_1d
+funnel_3step time_weighted_avg_1d value_changes_1h uptime_sla_1d
+retention_cohorts``.
 
 Reference analog: the quicklook/preview downsample step
 (`/root/reference/s1tiling/libs/otbpipeline.py`, quicklook products)

@@ -464,9 +464,16 @@ def linear_fit(
     (`/root/reference/s1tiling/libs/lia.py:1658-1683`), generalized to
     per-bucket regression; one shuffle on (keys, bucket).
     """
+    spans = {"day": 86_400, "hour": 3_600}
+    if bucket not in spans:
+        raise ValueError(
+            f"unknown bucket {bucket!r}: linear_fit supports "
+            f"{sorted(spans)} (variable-length buckets like 'week'/'month' "
+            "would need a per-row span, not a constant)"
+        )
     ts = F.col(ts_col).cast("timestamp")
     bkt = F.date_trunc(bucket, F.col(ts_col))
-    span_s = {"day": 86_400, "hour": 3_600}[bucket]
+    span_s = spans[bucket]
     df = points.select(
         *keys,
         bkt.alias("bucket_start"),

@@ -124,6 +124,146 @@ class TierStore:
         atomic_json_write(os.path.join(self.base_dir, "_commit_seq.json"), {"seq": seq})
         return seq
 
+    # ---------- refs (tags) ----------
+    def _refs_path(self) -> str:
+        return os.path.join(self.base_dir, "_refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag analog): name → commit_seq.
+        Store-level, like :meth:`last_commit_seq` — one seq is a
+        consistent horizon across every tier."""
+        path = self._refs_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, seq: int | None = None, replace: bool = False) -> int:
+        """Pin ``name`` to a commit_seq (default: the current one).
+        Tags are immutable unless ``replace`` — silently moving a tag
+        a reader has already resolved would change what "v2024.1"
+        means under them."""
+        refs = self.tags()
+        if name in refs and not replace:
+            raise ValueError(
+                f"tag {name!r} already points at seq {refs[name]}; "
+                "pass replace=True to move it"
+            )
+        seq = int(seq) if seq is not None else self.last_commit_seq()
+        if seq > self.last_commit_seq():
+            raise ValueError(
+                f"tag {name!r}: seq {seq} has not been committed yet "
+                f"(last is {self.last_commit_seq()})"
+            )
+        refs[name] = seq
+        atomic_json_write(self._refs_path(), refs)
+        return seq
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.tags()
+        refs.pop(name, None)
+        atomic_json_write(self._refs_path(), refs)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"unknown tag {name!r}; known: {sorted(refs)}")
+        return refs[name]
+
+    # ---------- rollback ----------
+    def _rollbacks_path(self) -> str:
+        return os.path.join(self.base_dir, "_rollbacks.json")
+
+    def _rollback_ranges(self, tier: str) -> list[tuple[int, int]]:
+        """Excluded commit ranges for ``tier``: each ``(lo, hi]`` holds
+        commits voided by a :meth:`rollback` — invisible to any read
+        whose horizon is PAST the rollback (``as_of > hi`` or current),
+        still visible to as-of reads INSIDE the range (orphaned history
+        stays readable until a compaction expires it, like Iceberg's
+        orphan snapshots before ``expire_snapshots``)."""
+        path = self._rollbacks_path()
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [tuple(r) for r in json.load(f).get(tier, [])]
+
+    def _apply_rollback_mask(
+        self, df: DataFrame, tier: str, as_of_seq: int | None = None
+    ) -> DataFrame:
+        """Drop row versions inside rolled-back ranges visible at this
+        horizon (see :meth:`_rollback_ranges` for the horizon rule).
+        Plain commit_seq range predicates — Catalyst folds them into
+        the scan filter; no join, no shuffle."""
+        for lo, hi in self._rollback_ranges(tier):
+            if as_of_seq is None or int(as_of_seq) > hi:
+                df = df.filter(
+                    ~((F.col("commit_seq") > lo) & (F.col("commit_seq") <= hi))
+                )
+        return df
+
+    def rollback(self, tier: str, to_seq: int) -> dict:
+        """Roll ``tier`` back to its state as of ``to_seq`` (Iceberg
+        ``rollback_to_snapshot``): commits in ``(to_seq, now]`` —
+        appends AND equality deletes — are voided for current reads,
+        while remaining reconstructable via ``read(as_of_seq<=now)``
+        until a compaction expires them. Later appends (seq > now) are
+        unaffected: the store keeps a single monotonic seq line and
+        rollback is an excluded RANGE, not a reset counter (resetting
+        would reuse seqs and corrupt every existing snapshot ref).
+        Metadata-only: no data file is touched; the next
+        history-expiring ``compact`` applies the exclusion physically.
+        """
+        to_seq = int(to_seq)
+        cur = self.last_commit_seq()
+        if to_seq > cur:
+            raise ValueError(f"rollback target {to_seq} is in the future (last={cur})")
+        if to_seq < self.min_as_of(tier):
+            raise ValueError(
+                f"tier {tier!r}: rollback target {to_seq} predates the "
+                f"compaction horizon min_as_of={self.min_as_of(tier)}; "
+                "that state was expired"
+            )
+        ranges = self._rollback_ranges(tier)
+        for lo, hi in ranges:
+            if lo < to_seq <= hi:
+                raise ValueError(
+                    f"rollback target {to_seq} is itself rolled back "
+                    f"(inside ({lo}, {hi}]); pick a seq outside the range "
+                    f"(e.g. {lo})"
+                )
+        if to_seq == cur:
+            return {"tier": tier, "excluded": None, "rollback_seq": cur}
+        # older ranges nested inside the new one are KEPT: each records
+        # what a horizon between the two rollbacks excluded, so as-of
+        # reads of that intermediate era stay exact
+        ranges.append((to_seq, cur))
+        path = self._rollbacks_path()
+        all_ranges = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                all_ranges = json.load(f)
+        all_ranges[tier] = sorted([list(r) for r in ranges])
+        atomic_json_write(path, all_ranges)
+        # The rollback is itself a commit: consuming a seq makes it
+        # observable — last_commit_seq advances, so changelog consumers
+        # (`changes`, matview refresh) see a new horizon PAST the range
+        # end and emit the diff back to the restored state. Without the
+        # bump a rollback would be invisible to every incremental
+        # reader. (as_of at the bumped seq > hi → mask applies: the
+        # rollback commit's own snapshot IS the restored state.)
+        rb_seq = self.next_commit_seq()
+        return {"tier": tier, "excluded": (to_seq, cur), "rollback_seq": rb_seq}
+
+    def _clear_rollbacks(self, tier: str) -> None:
+        path = self._rollbacks_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            all_ranges = json.load(f)
+        if tier in all_ranges:
+            del all_ranges[tier]
+            atomic_json_write(path, all_ranges)
+
     # ---------- equality deletes ----------
     def _deletes_path(self, tier: str) -> str:
         # inside the tier dir, '_'-prefixed (no '=' in the name) so the
@@ -187,16 +327,51 @@ class TierStore:
         shutil.rmtree(tmp)
         return rows
 
-    def _read_deletes(self, tier: str, as_of_seq: int | None = None) -> DataFrame | None:
+    def _delete_groups(
+        self,
+        tier: str,
+        as_of_seq: int | None = None,
+        apply_rollback: bool = True,
+    ) -> list[tuple[list[str], DataFrame]]:
+        """Delete files grouped by their OWN key-column set. ``delete``
+        allows any key prefix per call, so one tier's ``_deletes`` dir
+        may mix schemas (e.g. (bucket_start, source) group deletes next
+        to (bucket_start, source, bin) row deletes); a single
+        schema-inferred scan over the mix would either drop a key
+        column (over-deleting whole groups) or NULL-fill it (the
+        equality join never matches — deleted rows resurrect). Each
+        file's key set IS its footer schema minus the lineage columns,
+        so group the FILES driver-side by footer (pyarrow, no Spark
+        job — the same metadata-not-data discipline as Iceberg's
+        manifest list) and return one DataFrame per distinct key set.
+        """
         path = self._deletes_path(tier)
-        if not os.path.isdir(path) or not any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return None
-        df = self.spark.read.parquet(path)
-        if as_of_seq is not None:
-            df = df.filter(F.col("commit_seq") <= int(as_of_seq))
-        return df
+        if not os.path.isdir(path):
+            return []
+        import pyarrow.parquet as pq
+
+        by_keys: dict[tuple[str, ...], list[str]] = {}
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, fn)
+            cols = [
+                c
+                for c in pq.read_schema(fp).names
+                if c not in ("commit_seq", "run_id")
+            ]
+            by_keys.setdefault(tuple(sorted(cols)), []).append(fp)
+        out = []
+        for key_cols, files in sorted(by_keys.items()):
+            df = self.spark.read.parquet(*files)
+            if as_of_seq is not None:
+                df = df.filter(F.col("commit_seq") <= int(as_of_seq))
+            if apply_rollback:
+                # a delete commit inside a rolled-back range is voided
+                # with it (the rollback undoes the DELETE too)
+                df = self._apply_rollback_mask(df, tier, as_of_seq)
+            out.append((list(key_cols), df))
+        return out
 
     def _apply_delete_mask(
         self, df: DataFrame, tier: str, as_of_seq: int | None = None
@@ -204,18 +379,22 @@ class TierStore:
         """Row-level mask: drop versions with ``commit_seq <= the
         newest matching delete``. Delete files are small (Iceberg's own
         assumption for equality deletes) → broadcast left join; the
-        join keys are the delete file's OWN key columns, so group-level
-        deletes (key prefix) mask every row of the group."""
-        dels = self._read_deletes(tier, as_of_seq)
-        if dels is None:
-            return df
-        key_cols = [c for c in dels.columns if c not in ("commit_seq", "run_id")]
-        dmax = dels.groupBy(*key_cols).agg(F.max("commit_seq").alias("_del_seq"))
-        return (
-            df.join(F.broadcast(dmax), key_cols, "left")
-            .filter(F.col("_del_seq").isNull() | (F.col("commit_seq") > F.col("_del_seq")))
-            .drop("_del_seq")
-        )
+        join keys are each delete file's OWN key columns, so
+        group-level deletes (key prefix) mask every row of the group.
+        One mask join per distinct key set — sequential application is
+        the OR of the masks (a row is dropped iff ANY delete commit
+        newer than it matches on that delete's keys)."""
+        for key_cols, dels in self._delete_groups(tier, as_of_seq):
+            dmax = dels.groupBy(*key_cols).agg(F.max("commit_seq").alias("_del_seq"))
+            df = (
+                df.join(F.broadcast(dmax), key_cols, "left")
+                .filter(
+                    F.col("_del_seq").isNull()
+                    | (F.col("commit_seq") > F.col("_del_seq"))
+                )
+                .drop("_del_seq")
+            )
+        return df
 
     # ---------- data ----------
     def _committed_key_path(self, tier: str, key: str) -> str:
@@ -296,6 +475,7 @@ class TierStore:
         keys: tuple[str, ...] = DEFAULT_KEYS,
         as_of_seq: int | None = None,
         merge_schema: bool = False,
+        ref: str | None = None,
     ) -> DataFrame | None:
         """Read a tier table; with ``deduped`` the newest commit wins per
         natural key (default (bucket_start, source); histogram tables add
@@ -317,7 +497,14 @@ class TierStore:
         at 10^12-row scale that is a metadata storm to pay only after
         an actual evolution (a real Iceberg catalog serves the current
         schema from the table metadata instead).
+
+        ``ref``: read as of a named tag (:meth:`tag`) — sugar for
+        ``as_of_seq=self.resolve_ref(ref)``.
         """
+        if ref is not None:
+            if as_of_seq is not None:
+                raise ValueError("pass as_of_seq or ref, not both")
+            as_of_seq = self.resolve_ref(ref)
         path = self.tier_path(tier)
         if not os.path.isdir(path) or not any(
             p.startswith("p_date=") for p in os.listdir(path)
@@ -339,10 +526,13 @@ class TierStore:
             df = df.filter(F.col("commit_seq") <= int(as_of_seq))
         if not deduped:
             # the physical row-version view (compact / snapshots /
-            # additive folds): equality deletes are NOT applied here —
-            # read_summed masks at row level itself, compact applies
-            # them physically
+            # additive folds): equality deletes and rollbacks are NOT
+            # applied here — read_summed masks at row level itself,
+            # compact applies them physically
             return df
+        # rollback mask BEFORE the rank window: voiding the newest
+        # version must let the restored older one win again
+        df = self._apply_rollback_mask(df, tier, as_of_seq)
         w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
         out = (
             df.withColumn("_rk", F.row_number().over(w))
@@ -360,6 +550,7 @@ class TierStore:
         keys: tuple[str, ...],
         sum_cols: tuple[str, ...],
         as_of_seq: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame | None:
         """ADDITIVE merge-on-read: fold all row versions per key with a
         grouped SUM instead of newest-wins. For tiers whose appended
@@ -378,11 +569,17 @@ class TierStore:
         batch after the fact — summing is exactly what it does."""
         if not sum_cols:
             raise ValueError("read_summed requires sum_cols")
+        if ref is not None:
+            if as_of_seq is not None:
+                raise ValueError("pass as_of_seq or ref, not both")
+            as_of_seq = self.resolve_ref(ref)
         df = self.read(tier, deduped=False, as_of_seq=as_of_seq)
         if df is None:
             return None
         # additive tiers mask at ROW level (each partial <= the delete's
-        # seq is excluded from the fold; later partials keep summing)
+        # seq is excluded from the fold; later partials keep summing);
+        # rolled-back partials drop out of the fold the same way
+        df = self._apply_rollback_mask(df, tier, as_of_seq)
         df = self._apply_delete_mask(df, tier, as_of_seq)
         return df.groupBy(*keys).agg(*_sum_exprs(sum_cols))
 
@@ -447,6 +644,10 @@ class TierStore:
         df = df.filter(
             (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_eff)
         )
+        # rolled-back versions are not net new rows at the range's
+        # horizon (a rollback crossing (from, to] surfaces as deletes
+        # in `changes`, never here — this scan is upserts-only)
+        df = self._apply_rollback_mask(df, tier, to_eff)
         w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
         out = (
             df.withColumn("_rk", F.row_number().over(w))
@@ -464,6 +665,7 @@ class TierStore:
         from_seq: int,
         to_seq: int | None = None,
         keys: tuple[str, ...] = DEFAULT_KEYS,
+        split_updates: bool = False,
     ) -> DataFrame | None:
         """CDC changelog (Iceberg ``create_changelog_view`` analog):
         the row-level diff between the table state as of ``from_seq``
@@ -471,14 +673,30 @@ class TierStore:
         {'insert', 'update', 'delete'}. Insert/update rows carry the
         post-image, delete rows the pre-image (the deleted row).
 
+        ``split_updates``: emit an update as TWO rows —
+        ``update_before`` (pre-image) + ``update_after`` (post-image),
+        Iceberg's changelog convention with identifier fields. This is
+        the form a delta consumer needs: a distributive aggregate is
+        maintained by adding post-image rows and subtracting pre-image
+        rows, so the signed union {insert, update_after: +1} ∪
+        {delete, update_before: -1} IS the view delta
+        (:mod:`s1tiling_spark.plans.matview` consumes exactly this).
+        Single-pass: both images ride one row through the diff join and
+        are expanded by ``inline`` at the end — the touched-key reads
+        are never duplicated.
+
         Needs exact history at ``from_seq``, so it inherits
         ``read(as_of_seq=...)``'s horizon check (raises past expired
         history — never a silent wrong diff). Cost shape: only keys
         TOUCHED in the range (a data version or a delete) can differ,
-        so both as-of states are pruned by a broadcast semi-join on
-        that (small) touched set before the full-outer diff — the
-        changelog costs O(touched), not O(table), exactly how Iceberg
-        derives it from range-scoped manifests.
+        so both as-of states are pruned by a semi-join on that touched
+        set before the full-outer diff — the changelog costs
+        O(touched), not O(table), exactly how Iceberg derives it from
+        range-scoped manifests. The semi-join is left to AQE: for the
+        common incremental range the touched set is tiny and becomes a
+        runtime broadcast, but a range spanning a bulk append can touch
+        every key in the table and a forced broadcast would abort at
+        the 8 GB exchange limit.
         """
         to_eff = int(to_seq) if to_seq is not None else self.last_commit_seq()
         from_seq = int(from_seq)
@@ -487,20 +705,39 @@ class TierStore:
             return None
         in_range = (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_eff)
         touched = raw.filter(in_range).select(*keys)
-        dels = self._read_deletes(tier)
-        if dels is not None:
-            dkeys = [c for c in dels.columns if c not in ("commit_seq", "run_id")]
+        # delete-group masks at the POST horizon (to_eff), so a delete
+        # voided by a rollback older than to_eff is correctly ignored
+        # while one the rollback does not reach still touches its keys
+        for dkeys, dels in self._delete_groups(tier, to_eff):
             # group-level deletes (key prefix) touch every row of the
-            # group — expand through a semi-join against the raw keys
+            # group — expand through a semi-join against the raw keys,
+            # per delete key set (mixed key sets never share one join)
             touched = touched.unionByName(
                 raw.join(dels.filter(in_range).select(*dkeys), dkeys, "leftsemi")
                 .select(*keys)
             )
+        # a rollback whose horizon crossing lands inside (from, to]
+        # (mask off at `from`, on at `to`) touches every key with a
+        # voided data version OR a voided delete — those commits can be
+        # OLDER than from_seq, so the in-range scan above never sees
+        # them
+        for lo, hi in self._rollback_ranges(tier):
+            if from_seq <= hi < to_eff:
+                voided = (F.col("commit_seq") > lo) & (F.col("commit_seq") <= hi)
+                touched = touched.unionByName(raw.filter(voided).select(*keys))
+                for dkeys, dels in self._delete_groups(
+                    tier, apply_rollback=False
+                ):
+                    touched = touched.unionByName(
+                        raw.join(
+                            dels.filter(voided).select(*dkeys), dkeys, "leftsemi"
+                        ).select(*keys)
+                    )
         touched = touched.distinct()
-        pre = self.read(tier, as_of_seq=from_seq)
-        post = self.read(tier, as_of_seq=to_eff)
-        pre = pre.join(F.broadcast(touched), list(keys), "leftsemi")
-        post = post.join(F.broadcast(touched), list(keys), "leftsemi")
+        pre = self.read(tier, as_of_seq=from_seq, keys=keys)
+        post = self.read(tier, as_of_seq=to_eff, keys=keys)
+        pre = pre.join(touched, list(keys), "leftsemi")
+        post = post.join(touched, list(keys), "leftsemi")
         val_cols = [c for c in post.columns if c not in keys]
         pre_r = pre.select(
             *keys, *[F.col(c).alias(f"_pre_{c}") for c in val_cols]
@@ -512,6 +749,26 @@ class TierStore:
             .when(F.col("commit_seq") != F.col("_pre_commit_seq"), F.lit("update"))
         )
         j = j.withColumn("op", op).filter(F.col("op").isNotNull())
+        if split_updates:
+            pre_img = F.struct(
+                F.when(F.col("op") == "delete", F.lit("delete"))
+                .otherwise(F.lit("update_before"))
+                .alias("op"),
+                *[F.col(f"_pre_{c}").alias(c) for c in val_cols],
+            )
+            post_img = F.struct(
+                F.when(F.col("op") == "insert", F.lit("insert"))
+                .otherwise(F.lit("update_after"))
+                .alias("op"),
+                *[F.col(c).alias(c) for c in val_cols],
+            )
+            imgs = F.array_compact(
+                F.array(
+                    F.when(F.col("op").isin("delete", "update"), pre_img),
+                    F.when(F.col("op").isin("insert", "update"), post_img),
+                )
+            )
+            return j.select(*keys, F.inline(imgs)).select("op", *keys, *val_cols)
         # delete rows carry the pre-image (coalesce would be wrong: an
         # update may legitimately null a column, and coalesce would
         # resurrect the old value)
@@ -739,12 +996,33 @@ class TierStore:
         # History-preserving compaction (integer expire_below) keeps
         # deletes LOGICAL: an as-of read in [E, D) must still see a
         # version that a physical apply would have removed.
-        dels = self._read_deletes(tier)
-        deletes_applied = dels is not None and expire_below is None
+        # Rollbacks: applied PHYSICALLY whenever history is expired
+        # (the voided versions drop out of the rewrite and the ranges
+        # are cleared). History-preserving compaction keeps them
+        # logical, but only when the preserved horizon stays at or
+        # below every range start: the winner-as-of-E rule could
+        # otherwise keep a voided version as a key's only survivor
+        # while dropping the version a post-rollback read must serve.
+        rb_ranges = self._rollback_ranges(tier)
+        if expire_below is not None and rb_ranges:
+            bad = [r for r in rb_ranges if r[0] < int(expire_below)]
+            if bad:
+                raise ValueError(
+                    f"tier {tier!r}: expire_below={expire_below} overlaps "
+                    f"rollback range(s) {bad}; run a full compact to apply "
+                    "them, or pick expire_below <= the range start"
+                )
+        rollback_applied = bool(rb_ranges) and expire_below is None
+        max_rb_hi = max((hi for _, hi in rb_ranges), default=0)
+        if rollback_applied:
+            raw = self._apply_rollback_mask(raw, tier)
+        del_groups = self._delete_groups(tier)
+        deletes_applied = bool(del_groups) and expire_below is None
         max_del_seq = 0
         if deletes_applied:
-            max_del_seq = int(
-                dels.agg(F.max("commit_seq").alias("m")).first()["m"] or 0
+            max_del_seq = max(
+                int(d.agg(F.max("commit_seq").alias("m")).first()["m"] or 0)
+                for _, d in del_groups
             )
             raw = self._apply_delete_mask(raw, tier)
         # exact-horizon rule shared by sum mode and latest full expiry:
@@ -838,6 +1116,12 @@ class TierStore:
             # every version was dropped pre-window) — the applied
             # deletes' own seq is their horizon
             new_horizon = max(new_horizon, max_del_seq)
+        if rollback_applied:
+            # physically dropped rolled-back versions were visible to
+            # as-of reads at ANY horizon in (lo, hi] (the mask only
+            # engages past hi) — the first still-correct snapshot after
+            # the drop is hi+1
+            new_horizon = max(new_horizon, max_rb_hi + 1)
         # Record the horizon BEFORE the destructive swap (review fix):
         # a crash mid-swap may already have expired history, and an
         # unrecorded horizon would let read(as_of_seq=...) silently
@@ -864,13 +1148,14 @@ class TierStore:
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
-        if deletes_applied:
-            # a partition whose every row was masked is absent from the
-            # rewrite — its live dir must go too (aside-then-delete, the
-            # same crash discipline as the swap). ONLY under an applied
-            # delete: in any other mode a live partition missing from
-            # tmp would signal a bug, and destroying it silently is the
-            # one thing compact must never do.
+        if deletes_applied or rollback_applied:
+            # a partition whose every row was masked (or voided by a
+            # rollback) is absent from the rewrite — its live dir must
+            # go too (aside-then-delete, the same crash discipline as
+            # the swap). ONLY under an applied delete/rollback: in any
+            # other mode a live partition missing from tmp would signal
+            # a bug, and destroying it silently is the one thing
+            # compact must never do.
             for part in list(os.listdir(path)):
                 if part.startswith("p_date=") and part not in tmp_parts:
                     aside = os.path.join(
@@ -879,12 +1164,18 @@ class TierStore:
                     )
                     os.rename(os.path.join(path, part), aside)
                     shutil.rmtree(aside, ignore_errors=True)
+        if deletes_applied:
             # applied deletes are spent: every masked version is gone
             # and the horizon (recorded BEFORE the swap) covers their
             # seqs, so as-of reads below them raise. A crash before
             # this GC merely re-applies the mask to rows that no longer
             # exist — idempotent.
             shutil.rmtree(self._deletes_path(tier), ignore_errors=True)
+        if rollback_applied:
+            # same argument: voided versions are physically gone and
+            # the horizon covers hi+1; re-masking after a crash here is
+            # a no-op
+            self._clear_rollbacks(tier)
         # AFTER the swap (unlike the horizon): losing this marker to a
         # crash only costs one redundant rewrite on the next scheduled
         # maybe_compact — conservative, never wrong

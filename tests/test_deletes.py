@@ -264,3 +264,142 @@ def test_changes_emits_insert_update_delete_with_images(spark, tmp_path):
         else:
             out[src] = cnt
     assert out == {r["source"]: r["cnt"] for _, r in post.iterrows()}
+
+
+def test_mixed_keyset_deletes_apply_per_keyset(spark, seq, tmp_path):
+    """Group-level (2-key) and row-level (3-key) delete commits on the
+    SAME tier are applied per key set: each mask joins on its own key
+    columns. A single schema-inferred scan over the mixed _deletes dir
+    would either drop the `bin` column (masking whole groups the row
+    delete never named) or NULL-fill it (the group delete stops
+    matching and its rows resurrect)."""
+    from s1tiling_spark.operators.rollup import token_hist_long
+
+    store = TierStore(spark, str(tmp_path / "mix"))
+    hist = token_hist_long(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("hist_1d", hist, s1, "run-1")
+    keys3 = ("bucket_start", "source", "bin")
+
+    # group delete: every bin of src_hot
+    s2 = store.next_commit_seq()
+    store.delete(
+        "hist_1d",
+        hist.filter(F.col("source") == "src_hot"),
+        s2,
+        "run-grp",
+        keys=("bucket_start", "source"),
+    )
+    # row delete: ONE specific bin of a different source
+    victim = (
+        hist.filter(F.col("source") != "src_hot")
+        .orderBy("bucket_start", "source", "bin")
+        .limit(1)
+        .cache()
+    )
+    vrow = victim.first()
+    s3 = store.next_commit_seq()
+    store.delete("hist_1d", victim, s3, "run-row", keys=keys3)
+
+    got = _state(store, "hist_1d", keys=keys3)
+    want = (
+        hist.filter(F.col("source") != "src_hot")
+        .join(victim.select(*keys3), list(keys3), "left_anti")
+        .toPandas()
+    )
+    assert_frames_match(got, want)
+    # sanity: the row delete removed exactly one row, not the group
+    kept_same_group = got[
+        (got["bucket_start"] == vrow["bucket_start"])
+        & (got["source"] == vrow["source"])
+    ]
+    assert len(kept_same_group) > 0  # other bins of the victim's group survive
+
+
+def test_changes_respects_extended_keys(spark, seq, tmp_path):
+    """changes(keys=3-col natural key) on a long-form tier diffs per
+    full key: only the bin that actually changed appears — the as-of
+    states must be read with the SAME extended key (a default-key read
+    would keep one arbitrary bin per (bucket_start, source) and emit
+    spurious insert/delete rows for every other bin)."""
+    from s1tiling_spark.operators.rollup import token_hist_long
+
+    store = TierStore(spark, str(tmp_path / "cdk"))
+    hist = token_hist_long(seq, "1d").cache()
+    keys3 = ("bucket_start", "source", "bin")
+    s1 = store.next_commit_seq()
+    store.append("hist_1d", hist, s1, "run-1")
+
+    upd = (
+        hist.orderBy("bucket_start", "source", "bin")
+        .limit(1)
+        .withColumn("tok_cnt", F.col("tok_cnt") + F.lit(7))
+        .cache()
+    )
+    urow = upd.first()
+    s2 = store.next_commit_seq()
+    store.append("hist_1d", upd, s2, "run-2")
+
+    ch = store.changes("hist_1d", from_seq=s1, keys=keys3)
+    rows = ch.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["op"], r["bucket_start"], r["source"], r["bin"], r["tok_cnt"]) == (
+        "update",
+        urow["bucket_start"],
+        urow["source"],
+        urow["bin"],
+        urow["tok_cnt"],
+    )
+
+
+def test_changes_split_updates_emits_before_and_after_images(spark, seq, tmp_path):
+    """split_updates: an update becomes update_before (pre-image) +
+    update_after (post-image) — Iceberg's changelog convention, and the
+    exact shape delta-based view maintenance consumes (signed union).
+    Inserts and deletes stay single-row."""
+    store = TierStore(spark, str(tmp_path / "split"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+
+    first_two = full.orderBy("bucket_start", "source").limit(2).collect()
+    upd_key, del_key = first_two[0], first_two[1]
+    # update: same key, cnt bumped
+    upd = (
+        full.filter(
+            (F.col("bucket_start") == upd_key["bucket_start"])
+            & (F.col("source") == upd_key["source"])
+        ).withColumn("cnt", F.col("cnt") + F.lit(5))
+    )
+    # insert: a brand-new key
+    ins = upd.withColumn("source", F.lit("src_brand_new"))
+    s2 = store.next_commit_seq()
+    store.append("1d", upd.unionByName(ins), s2, "run-2")
+    s3 = store.next_commit_seq()
+    store.delete(
+        "1d",
+        full.filter(
+            (F.col("bucket_start") == del_key["bucket_start"])
+            & (F.col("source") == del_key["source"])
+        ),
+        s3,
+        "run-del",
+    )
+
+    ch = store.changes("1d", from_seq=s1, split_updates=True)
+    rows = {(r["op"], r["source"]): r for r in ch.collect()}
+    assert set(rows) == {
+        ("update_before", upd_key["source"]),
+        ("update_after", upd_key["source"]),
+        ("insert", "src_brand_new"),
+        ("delete", del_key["source"]),
+    }
+    assert rows[("update_before", upd_key["source"])]["cnt"] == upd_key["cnt"]
+    assert rows[("update_after", upd_key["source"])]["cnt"] == upd_key["cnt"] + 5
+    assert rows[("delete", del_key["source"])]["cnt"] == del_key["cnt"]
+    # the signed union cancels exactly for unchanged measures
+    assert (
+        rows[("update_after", upd_key["source"])]["sum_n_tok"]
+        == rows[("update_before", upd_key["source"])]["sum_n_tok"]
+    )

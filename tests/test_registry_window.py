@@ -24,6 +24,7 @@ EXTRAS = {
     "value_changes_1h",
     "uptime_sla_1d",
     "retention_cohorts",
+    "matview_daily_totals",
 }
 WINDOW = 50
 
