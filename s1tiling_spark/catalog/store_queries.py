@@ -20,6 +20,7 @@ downstream aggregate product.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,7 +47,8 @@ _ORACLE = (
 @register("matview_daily_totals", oracle=_ORACLE)
 def matview_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = sequences_from_documents(spark, sf_dir)
-    store = TierStore(spark, tempfile.mkdtemp(prefix="s1ts_mv_gate_"))
+    base_dir = tempfile.mkdtemp(prefix="s1ts_mv_gate_")
+    store = TierStore(spark, base_dir)
     mv = AdditiveMatView(
         store,
         name="daily_totals",
@@ -90,4 +92,9 @@ def matview_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("bucket_start", "source"),
     )
     mv.refresh("mv-3")
-    return mv.read()
+    # the store dir is per-call scratch: pin the result off its files
+    # (eager localCheckpoint) so the tree can be removed immediately —
+    # repeated gate runs must not accumulate /tmp parquet
+    out = mv.read().localCheckpoint(eager=True)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -144,11 +144,38 @@ class AdditiveMatView:
             F.sum("_mv_n").alias("_mv_n"),
         )
 
+    def _rebuild_reset(self) -> None:
+        """Drop the view's accumulated deltas, markers and cursor so the
+        next refresh runs the cursor==0 full load. Crash-safe: any
+        partial reset leaves cursor 0 (or a missing tier), both of
+        which the full-load path handles; a crash between the data
+        rmtree and the meta removal re-enters here on the next refresh
+        because the stale cursor still predates the base horizon."""
+        import shutil
+
+        shutil.rmtree(self.store.tier_path(self.view_tier), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.store.base_dir, "_committed_runs", self.view_tier),
+            ignore_errors=True,
+        )
+        if os.path.exists(self._meta_path()):
+            os.remove(self._meta_path())
+
     def refresh(self, run_id: str) -> dict:
         """Bring the view up to the base tier's current state; returns
         ``{"from_seq", "to_seq", "rows"}`` (rows = delta rows appended,
-        0 for a no-op refresh)."""
+        0 for a no-op refresh).
+
+        If a base-tier compaction expired history below the refresh
+        cursor (the changelog from the cursor is gone), the view is
+        REBUILT: deltas are dropped and the full aggregate re-runs —
+        the lagging-view recovery Iceberg-backed MV engines perform
+        when the incremental log is unavailable. Routine maintenance
+        must never brick the view."""
         cursor = self._repair_crashed_refresh(self.last_refreshed_seq())
+        if cursor > 0 and cursor < self.store.min_as_of(self.base_tier):
+            self._rebuild_reset()
+            cursor = 0
         to_seq = self.store.last_commit_seq()
         if to_seq == cursor:
             return {"from_seq": cursor, "to_seq": to_seq, "rows": 0}

@@ -155,6 +155,8 @@ class TierStore:
                 f"tag {name!r}: seq {seq} has not been committed yet "
                 f"(last is {self.last_commit_seq()})"
             )
+        if seq < 0:
+            raise ValueError(f"tag {name!r}: seq {seq} is not a commit_seq")
         refs[name] = seq
         atomic_json_write(self._refs_path(), refs)
         return seq
@@ -233,6 +235,18 @@ class TierStore:
                 )
         if to_seq == cur:
             return {"tier": tier, "excluded": None, "rollback_seq": cur}
+        # The rollback is itself a commit: consuming a seq makes it
+        # observable — last_commit_seq advances, so changelog consumers
+        # (`changes`, matview refresh) see a new horizon PAST the range
+        # end and emit the diff back to the restored state. Without the
+        # bump a rollback would be invisible to every incremental
+        # reader. (as_of at the bumped seq > hi → mask applies: the
+        # rollback commit's own snapshot IS the restored state.)
+        # Seq FIRST, ranges second: a crash in between wastes one seq
+        # (every reader stays consistent); the reverse order would let
+        # current reads serve the restored state while as-of-current
+        # and changelog reads still serve the voided one.
+        rb_seq = self.next_commit_seq()
         # older ranges nested inside the new one are KEPT: each records
         # what a horizon between the two rollbacks excluded, so as-of
         # reads of that intermediate era stay exact
@@ -244,14 +258,6 @@ class TierStore:
                 all_ranges = json.load(f)
         all_ranges[tier] = sorted([list(r) for r in ranges])
         atomic_json_write(path, all_ranges)
-        # The rollback is itself a commit: consuming a seq makes it
-        # observable — last_commit_seq advances, so changelog consumers
-        # (`changes`, matview refresh) see a new horizon PAST the range
-        # end and emit the diff back to the restored state. Without the
-        # bump a rollback would be invisible to every incremental
-        # reader. (as_of at the bumped seq > hi → mask applies: the
-        # rollback commit's own snapshot IS the restored state.)
-        rb_seq = self.next_commit_seq()
         return {"tier": tier, "excluded": (to_seq, cur), "rollback_seq": rb_seq}
 
     def _clear_rollbacks(self, tier: str) -> None:
@@ -721,13 +727,18 @@ class TierStore:
         # voided data version OR a voided delete — those commits can be
         # OLDER than from_seq, so the in-range scan above never sees
         # them
-        for lo, hi in self._rollback_ranges(tier):
-            if from_seq <= hi < to_eff:
+        crossing = [
+            (lo, hi)
+            for lo, hi in self._rollback_ranges(tier)
+            if from_seq <= hi < to_eff
+        ]
+        if crossing:
+            # loop-invariant: one footer-grouping pass, reused per range
+            unmasked_groups = self._delete_groups(tier, apply_rollback=False)
+            for lo, hi in crossing:
                 voided = (F.col("commit_seq") > lo) & (F.col("commit_seq") <= hi)
                 touched = touched.unionByName(raw.filter(voided).select(*keys))
-                for dkeys, dels in self._delete_groups(
-                    tier, apply_rollback=False
-                ):
+                for dkeys, dels in unmasked_groups:
                     touched = touched.unionByName(
                         raw.join(
                             dels.filter(voided).select(*dkeys), dkeys, "leftsemi"

@@ -153,3 +153,28 @@ def test_group_cols_must_partition_by_bucket_start(store):
             group_cols={"source": F.col("source")},
             sum_cols=("cnt",),
         )
+
+
+def test_refresh_rebuilds_when_base_history_expired(spark, store):
+    """Routine base-tier compaction can raise min_as_of past the view's
+    cursor (the changelog from the cursor is gone). refresh must fall
+    back to a full rebuild instead of raising forever."""
+    mv = _daily_view(store)
+    b1 = rollup_sequences(synth_sequences(spark, 1500), "1h").cache()
+    store.append("1h", b1, store.next_commit_seq(), "run-1")
+    mv.refresh("mv-1")
+
+    # supersede every key so compaction has history to expire
+    b2 = b1.withColumn("cnt", F.col("cnt") + F.lit(9)).cache()
+    store.append("1h", b2, store.next_commit_seq(), "run-2")
+    store.compact("1h")
+    assert mv.last_refreshed_seq() < store.min_as_of("1h")
+
+    r = mv.refresh("mv-rebuild")
+    assert r["from_seq"] == 0 and r["rows"] > 0
+    assert_frames_match(_view_state(mv), _expected(store))
+    # and the rebuilt view keeps refreshing incrementally
+    b3 = b2.withColumn("cnt", F.col("cnt") + F.lit(1)).cache()
+    store.append("1h", b3, store.next_commit_seq(), "run-3")
+    mv.refresh("mv-next")
+    assert_frames_match(_view_state(mv), _expected(store))

@@ -266,3 +266,9 @@ def test_tags_resolve_and_guard(spark, seq, tmp_path):
         store.read("1d", ref="v1", as_of_seq=s1)
     store.drop_tag("v1")
     assert "v1" not in store.tags()
+
+
+def test_tag_rejects_negative_seq(spark, tmp_path):
+    store = TierStore(spark, str(tmp_path / "negtag"))
+    with pytest.raises(ValueError, match="not a commit_seq"):
+        store.tag("bad", seq=-3)
