@@ -59,6 +59,12 @@ class AdditiveMatView:
     ``group_cols`` must include ``bucket_start`` — the store partitions
     every tier by its calendar date, which is also what makes refresh
     appends prune on read.
+
+    The BASE tier must follow the newest-wins merge discipline
+    (:meth:`TierStore.read`): the changelog diffs newest-wins states.
+    An ADDITIVE base tier (``read_summed`` partials) has no changelog
+    — its partials already ARE deltas; aggregate them directly instead
+    of stacking a matview on top.
     """
 
     def __init__(
@@ -191,6 +197,10 @@ class AdditiveMatView:
                 to_seq=to_seq,
                 keys=self.base_keys,
                 split_updates=True,
+                # scan I/O scales with touched DAYS, not table size:
+                # the changelog opens only the partitions the touched
+                # keys live in (measured in tools/matview_bench.py)
+                prune_partitions="bucket_start" in self.base_keys,
             )
             if ch is None:
                 delta = None

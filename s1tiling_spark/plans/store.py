@@ -482,6 +482,7 @@ class TierStore:
         as_of_seq: int | None = None,
         merge_schema: bool = False,
         ref: str | None = None,
+        p_dates: list | None = None,
     ) -> DataFrame | None:
         """Read a tier table; with ``deduped`` the newest commit wins per
         natural key (default (bucket_start, source); histogram tables add
@@ -506,6 +507,12 @@ class TierStore:
 
         ``ref``: read as of a named tag (:meth:`tag`) — sugar for
         ``as_of_seq=self.resolve_ref(ref)``.
+
+        ``p_dates``: restrict the scan to these partition dates —
+        static partition pruning for callers that already know which
+        dates can matter (``changes(prune_partitions=True)`` derives
+        them from the touched keys). The filter sits directly on the
+        partition column, so unlisted dates are never opened.
         """
         if ref is not None:
             if as_of_seq is not None:
@@ -520,6 +527,8 @@ class TierStore:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(path)
+        if p_dates is not None:
+            df = df.filter(F.col("p_date").isin([str(d) for d in p_dates]))
         if as_of_seq is not None:
             horizon = self.min_as_of(tier)
             if as_of_seq < horizon:
@@ -672,6 +681,7 @@ class TierStore:
         to_seq: int | None = None,
         keys: tuple[str, ...] = DEFAULT_KEYS,
         split_updates: bool = False,
+        prune_partitions: bool = False,
     ) -> DataFrame | None:
         """CDC changelog (Iceberg ``create_changelog_view`` analog):
         the row-level diff between the table state as of ``from_seq``
@@ -690,6 +700,19 @@ class TierStore:
         Single-pass: both images ride one row through the diff join and
         are expanded by ``inline`` at the end — the touched-key reads
         are never duplicated.
+
+        ``prune_partitions``: every touched key carries its
+        ``bucket_start``, so the touched set determines exactly which
+        ``p_date`` partitions the two as-of states need — collect those
+        dates (tiny: one value per touched calendar day) and open ONLY
+        them. This is what makes an incremental consumer O(touched
+        days) in scan I/O instead of re-reading the whole table twice:
+        at 10^12 rows a late-data refresh touching one day opens one
+        partition, not a thousand. The touched relation itself stays
+        cheap without pruning — its ``commit_seq > from`` predicate is
+        pushed to the parquet row-group stats, and compacted history
+        sits in low-seq row groups that the scan skips. Requires
+        ``bucket_start`` in ``keys``.
 
         Needs exact history at ``from_seq``, so it inherits
         ``read(as_of_seq=...)``'s horizon check (raises past expired
@@ -745,8 +768,27 @@ class TierStore:
                         ).select(*keys)
                     )
         touched = touched.distinct()
-        pre = self.read(tier, as_of_seq=from_seq, keys=keys)
-        post = self.read(tier, as_of_seq=to_eff, keys=keys)
+        p_dates = None
+        if prune_partitions:
+            if "bucket_start" not in keys:
+                raise ValueError(
+                    "prune_partitions requires 'bucket_start' in keys "
+                    "(the touched set must determine the touched dates)"
+                )
+            # materialize the (small) touched set once: the date
+            # collect and both semi-joins below reuse it instead of
+            # re-deriving the touched scan three times
+            touched = touched.localCheckpoint(eager=True)
+            p_dates = [
+                r["d"]
+                for r in touched.select(
+                    F.to_date("bucket_start").alias("d")
+                )
+                .distinct()
+                .collect()
+            ]
+        pre = self.read(tier, as_of_seq=from_seq, keys=keys, p_dates=p_dates)
+        post = self.read(tier, as_of_seq=to_eff, keys=keys, p_dates=p_dates)
         pre = pre.join(touched, list(keys), "leftsemi")
         post = post.join(touched, list(keys), "leftsemi")
         val_cols = [c for c in post.columns if c not in keys]

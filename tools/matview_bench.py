@@ -1,22 +1,25 @@
 """Incremental-view-maintenance cost model, measured: refresh after a
 small touched set vs the full recompute it replaces.
 
-The matview claim (plans/matview.py) is that a refresh costs
-O(keys touched since the last refresh), not O(table): the changelog
-prunes both as-of states to the touched keys before the diff. This
-bench puts a number on it — append a base tier of N rows, refresh
-(cold, = the full aggregate), then supersede a ~1 % slice and measure
-the incremental refresh against a from-scratch recompute of the view.
+The matview claim (plans/matview.py) is that a refresh costs O(keys —
+and, in scan I/O, DAYS — touched since the last refresh), not O(table):
+the changelog prunes both as-of states to the touched keys and opens
+only the touched keys' p_date partitions. This bench puts a number on
+it with a realistically WIDE base tier (synthesized directly:
+``sources × hours`` unique keys — a rollup of the synth raw table would
+collapse to ~8.6k keys and fixed job overhead would swamp the signal),
+then supersedes one day of one source block and measures the
+incremental refresh against a from-scratch recompute of the view.
 
 At 100 TB the ratio IS the feature: a continuous-aggregate pipeline
 re-deriving a daily tier from 10^12 base rows on every late-data batch
-is a full-table shuffle per batch; the IVM path shuffles only the
-touched keys' delta.
+scans and shuffles the whole table; the IVM path opens the touched
+day's partition and shuffles the delta.
 
-Deterministic input via sources.synth; no external data. Writes
-MATVIEW_BENCH.json and prints a PERF.md-ready block.
+Deterministic input (spark.range arithmetic); no external data. Writes
+MATVIEW_BENCH.json and prints one JSON line.
 
-Usage: python tools/matview_bench.py [--rows 4000000 --cpus 8]
+Usage: python tools/matview_bench.py [--sources 4096 --hours 1080 --cpus 8]
 """
 
 from __future__ import annotations
@@ -34,18 +37,31 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _base(spark, sources: int, hours: int):
+    """One row per (hour bucket, source): a dense wide stat tier."""
+    n = sources * hours
+    return spark.range(n).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") % hours).cast("int"))
+        ).alias("bucket_start"),
+        F.concat(F.lit("s"), (F.col("id") / hours).cast("long")).alias("source"),
+        (F.col("id") % 7 + 1).cast("long").alias("cnt"),
+        (F.col("id") % 1000 + 10).cast("long").alias("sum_n_tok"),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--sources", type=int, default=4096)
+    ap.add_argument("--hours", type=int, default=1080)  # 45 days
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--dir", default="/tmp/s1tiling_matview_bench")
     args = ap.parse_args()
 
-    from s1tiling_spark.operators.rollup import rollup_sequences
     from s1tiling_spark.plans.matview import AdditiveMatView
     from s1tiling_spark.plans.store import TierStore
     from s1tiling_spark.session import build_session
-    from s1tiling_spark.sources.synth import synth_sequences
 
     spark = build_session(
         master=f"local[{args.cpus}]",
@@ -66,29 +82,26 @@ def main() -> None:
         sum_cols=("cnt", "sum_n_tok"),
     )
 
-    seq = synth_sequences(spark, args.rows, with_tokens=False)
-    base = rollup_sequences(seq, "1h").select(
-        "bucket_start", "source", "cnt", "sum_n_tok"
-    )
+    base = _base(spark, args.sources, args.hours)
     store.append("1h", base, store.next_commit_seq(), "b-full")
-    total_keys = store.read("1h").count()
+    total_keys = args.sources * args.hours
 
     t0 = time.monotonic()
     r0 = mv.refresh("mv-cold")
     cold_s = time.monotonic() - t0
 
-    # touch ~1 %: supersede one source inside a 12-hour event window
+    # touch ONE day of ~1 % of sources: supersede those keys
+    hot_sources = max(1, args.sources // 100)
     touched_df = (
-        store.read("1h")
+        _base(spark, args.sources, args.hours)
         .filter(
-            (F.col("source") == "src_3")
-            & (F.col("bucket_start") < F.to_timestamp(F.lit("2024-01-01 12:00:00")))
+            (F.col("source").isin([f"s{i}" for i in range(hot_sources)]))
+            & (F.col("bucket_start") < F.to_timestamp(F.lit("2024-01-02 00:00:00")))
         )
-        .select("bucket_start", "source", "cnt", "sum_n_tok")
         .withColumn("cnt", F.col("cnt") + F.lit(5))
     )
-    touched_keys = touched_df.count()
     store.append("1h", touched_df, store.next_commit_seq(), "b-touch")
+    touched_keys = hot_sources * min(24, args.hours)
 
     t1 = time.monotonic()
     r1 = mv.refresh("mv-incr")
@@ -109,7 +122,8 @@ def main() -> None:
     full_s = time.monotonic() - t2
 
     out = {
-        "rows": args.rows,
+        "sources": args.sources,
+        "hours": args.hours,
         "cpus": args.cpus,
         "base_keys_total": int(total_keys),
         "touched_keys": int(touched_keys),
