@@ -11,7 +11,7 @@ BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations and
 seasonal_hourly_profile histogram_quantile_1d counter_resets_1d
 metric_correlation_1d threshold_alerts_1h predict_linear_1d
 funnel_3step time_weighted_avg_1d value_changes_1h uptime_sla_1d
-retention_cohorts``.
+retention_cohorts quantile_over_time_1d``.
 
 Reference analog: the quicklook/preview downsample step
 (`/root/reference/s1tiling/libs/otbpipeline.py`, quicklook products)
@@ -686,4 +686,44 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return retention_cohorts(
         ev, user_col="user_id", ts_col="ts", offsets=_RETENTION_OFFSETS
+    )
+
+
+# -- exact quantile_over_time (order statistics per series-day) --
+
+_QOT_ORACLE = f"""
+WITH pts AS (
+  SELECT date_trunc('day', ts) AS bucket_start, event_type, {_CENTS} AS v
+  FROM events
+),
+r AS (
+  SELECT bucket_start, event_type, v,
+         row_number() OVER (PARTITION BY bucket_start, event_type ORDER BY v)
+           AS rn,
+         count(*) OVER (PARTITION BY bucket_start, event_type) AS n
+  FROM pts
+)
+SELECT bucket_start, event_type,
+       max(CASE WHEN rn = (50*n+99)//100 THEN v END) AS p50,
+       max(CASE WHEN rn = (90*n+99)//100 THEN v END) AS p90,
+       max(CASE WHEN rn = (99*n+99)//100 THEN v END) AS p99
+FROM r GROUP BY 1, 2
+"""
+
+
+@register("quantile_over_time_1d", oracle=_QOT_ORACLE)
+def quantile_over_time_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value-cents per (event_type, day) — the
+    same ceil-rank convention as the mergeable quantile sketch, on raw
+    values (the serving-time exact variant)."""
+    from s1tiling_spark.operators.analytics import quantile_over_time
+
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return quantile_over_time(
+        pts, keys=("event_type",), ts_col="ts", value_col="v_cents", bucket="day"
     )

@@ -812,3 +812,51 @@ def retention_cohorts(
             F.col("n_active").cast("double") / F.col("n_cohort").cast("double")
         ).alias("retention"),
     )
+
+
+def quantile_over_time(
+    points: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """PromQL ``quantile_over_time`` with EXACT order statistics: the
+    value at ceil-rank ``(q·n + 99) div 100`` of each (keys, bucket)
+    group's sorted values — the p99-per-day dashboard query, computed
+    on the raw integer values rather than a sketch (the sketch path is
+    ``sketch_quantiles``; this is the exact small-group/serving
+    variant, and the cross-checkable oracle for it).
+
+    Rank arithmetic is pure integer (``div``), and value-at-rank is
+    well-defined under ties (row_number among equal values is
+    arbitrary, but the sorted multiset's k-th value is unique) — so
+    both engines agree exactly, the repo's oracle discipline.
+
+    Physical shape: ONE exchange — the rank window partitions by
+    (keys, bucket) and the final groupBy reuses that partitioning, so
+    the aggregate adds no second shuffle. Scales as the largest single
+    (keys, bucket) group, which is bounded by design for metric series.
+
+    Reference analog: the quantile summaries of the border/noise
+    census (`/root/reference/s1tiling/libs/otbpipeline.py`, product
+    statistics), generalized to arbitrary ranks.
+    """
+    bkt = F.date_trunc(bucket, F.col(ts_col))
+    df = points.select(
+        *keys, bkt.alias("bucket_start"), F.col(value_col).alias("_v")
+    )
+    grp = Window.partitionBy(*keys, "bucket_start")
+    df = df.withColumn("_rn", F.row_number().over(grp.orderBy("_v"))).withColumn(
+        "_n", F.count(F.lit(1)).over(grp)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr(f"({q} * _n + 99) div 100"), F.col("_v")
+            )
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    return df.groupBy(*keys, "bucket_start").agg(*aggs)

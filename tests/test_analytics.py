@@ -592,3 +592,32 @@ def test_retention_cohorts_matches_reference(spark):
         assert got[key] == (n, sz, n / sz), key
     # churn must actually thin the cohorts
     assert any(n < sizes[d] for (d, k), n in ref.items() if k > 0)
+
+
+def test_quantile_over_time_matches_reference(spark):
+    """Exact order statistics per (series, day): ceil-rank selection on
+    the sorted multiset — ties (plateau values), negative values, and
+    n=1 groups all checked against sorted()[k-1]."""
+    from s1tiling_spark.operators.analytics import quantile_over_time
+
+    rows = _mk_points(n_series=2, n=120)
+    rows += [("lone", datetime(2024, 3, 2), 95000, -7)]  # n=1 group
+    df = spark.createDataFrame(rows, "s string, ts timestamp, eid long, cents long")
+    got = {
+        (r["s"], r["bucket_start"]): (r["p50"], r["p90"], r["p99"])
+        for r in quantile_over_time(
+            df, keys=("s",), ts_col="ts", value_col="cents", bucket="day"
+        ).collect()
+    }
+
+    groups = {}
+    for s, ts, eid, cents in rows:
+        day = datetime(ts.year, ts.month, ts.day)
+        groups.setdefault((s, day), []).append(cents)
+    assert len(got) == len(groups)
+    for key, vals in groups.items():
+        vs = sorted(vals)
+        n = len(vs)
+        exp = tuple(vs[(q * n + 99) // 100 - 1] for q in (50, 90, 99))
+        assert got[key] == exp, key
+    assert got[("lone", datetime(2024, 3, 2))] == (-7, -7, -7)
