@@ -834,6 +834,11 @@ def quantile_over_time(
     arbitrary, but the sorted multiset's k-th value is unique) — so
     both engines agree exactly, the repo's oracle discipline.
 
+    Quantiles are of the NON-NULL multiset (PromQL's convention):
+    NULLs are filtered before ranking. Without the filter the engines
+    would diverge — Spark's ascending sort ranks NULLs first while
+    DuckDB sorts them last, shifting every rank.
+
     Physical shape: ONE exchange — the rank window partitions by
     (keys, bucket) and the final groupBy reuses that partitioning, so
     the aggregate adds no second shuffle. Scales as the largest single
@@ -844,7 +849,7 @@ def quantile_over_time(
     statistics), generalized to arbitrary ranks.
     """
     bkt = F.date_trunc(bucket, F.col(ts_col))
-    df = points.select(
+    df = points.filter(F.col(value_col).isNotNull()).select(
         *keys, bkt.alias("bucket_start"), F.col(value_col).alias("_v")
     )
     grp = Window.partitionBy(*keys, "bucket_start")

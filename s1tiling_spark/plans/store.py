@@ -777,8 +777,13 @@ class TierStore:
                 )
             # materialize the (small) touched set once: the date
             # collect and both semi-joins below reuse it instead of
-            # re-deriving the touched scan three times
-            touched = touched.localCheckpoint(eager=True)
+            # re-deriving the touched scan three times. Tracked persist,
+            # not localCheckpoint: checkpointed blocks are LOST (not
+            # recomputed) when an executor dies — wrong default for a
+            # lazy result consumed later on a real cluster.
+            from s1tiling_spark.operators.cache import persist_tracked
+
+            touched = persist_tracked(touched)
             p_dates = [
                 r["d"]
                 for r in touched.select(
@@ -787,6 +792,12 @@ class TierStore:
                 .distinct()
                 .collect()
             ]
+            if any(d is None for d in p_dates):
+                # a NULL bucket_start key lives in the Hive default
+                # partition, which no date literal matches — pruning
+                # would silently drop its diff, so fall back to the
+                # unpruned reads (correctness over the optimization)
+                p_dates = None
         pre = self.read(tier, as_of_seq=from_seq, keys=keys, p_dates=p_dates)
         post = self.read(tier, as_of_seq=to_eff, keys=keys, p_dates=p_dates)
         pre = pre.join(touched, list(keys), "leftsemi")

@@ -403,3 +403,54 @@ def test_changes_split_updates_emits_before_and_after_images(spark, seq, tmp_pat
         rows[("update_after", upd_key["source"])]["sum_n_tok"]
         == rows[("update_before", upd_key["source"])]["sum_n_tok"]
     )
+
+
+def test_changes_pruned_equals_unpruned_through_delete_and_rollback(
+    spark, seq, tmp_path
+):
+    """prune_partitions must be a pure optimization: the pruned
+    changelog equals the unpruned one through updates, an equality
+    delete AND a rollback horizon crossing — and the derived p_date
+    filter must reach the scan's PartitionFilters (not a post-scan
+    DataFilter), or the PERF.md §19 O(touched days) claim silently
+    reverts to full-table reads."""
+    import io
+    from contextlib import redirect_stdout
+
+    store = TierStore(spark, str(tmp_path / "prune_ch"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+
+    # update one key, delete another, then roll back PAST the delete so
+    # the changelog range contains a rollback horizon crossing
+    first_two = full.orderBy("bucket_start", "source").limit(2).cache()
+    upd = first_two.limit(1).withColumn("cnt", F.col("cnt") + F.lit(7))
+    s2 = store.next_commit_seq()
+    store.append("1d", upd, s2, "run-upd")
+    victim = first_two.orderBy(F.desc("source")).limit(1)
+    s3 = store.next_commit_seq()
+    store.delete("1d", victim, s3, "run-del")
+    store.rollback("1d", s2)
+
+    kw = dict(from_seq=s1, split_updates=True)
+    pruned = store.changes("1d", prune_partitions=True, **kw).toPandas()
+    unpruned = store.changes("1d", prune_partitions=False, **kw).toPandas()
+    key_cols = ["op", "bucket_start", "source"]
+    assert_frames_match(
+        pruned.sort_values(key_cols).reset_index(drop=True),
+        unpruned.sort_values(key_cols).reset_index(drop=True),
+    )
+    assert len(pruned) > 0
+
+    # the static date list must prune AT THE SCAN
+    some_date = str(full.agg(F.min(F.to_date("bucket_start"))).first()[0])
+    df = store.read("1d", p_dates=[some_date])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    pf_line = next(
+        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+    )
+    assert "p_date" in pf_line, pf_line
+    assert 0 < df.count() < store.read("1d").count()

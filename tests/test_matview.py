@@ -201,7 +201,7 @@ def test_stream_store_matview_e2e(spark, tmp_path):
         spark, landing, store_dir, str(tmp_path / "ckpt"),
         available_now=True, watermark="60 days",
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in 240s"
     mv.refresh("mv-early")
     assert_frames_match(_view_state(mv), _expected(store_dir))
 
@@ -212,7 +212,7 @@ def test_stream_store_matview_e2e(spark, tmp_path):
         spark, landing, store_dir, str(tmp_path / "ckpt"),
         available_now=True, watermark="60 days",
     )
-    q2.awaitTermination(240)
+    assert q2.awaitTermination(240), "stream did not finish in 240s"
     mv.refresh("mv-late")
 
     want = (
