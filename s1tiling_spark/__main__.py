@@ -14,6 +14,9 @@ Subcommands:
              --expire-below E keeps snapshots >= E readable (0 = pure
              file compaction, full time travel)
   snapshots  list commits still present in a tier (time-travel catalog)
+  files      file-level metadata table: rows/bytes/commit-seq range per
+             parquet file, from footers only (Iceberg table.files)
+  backfill   bucket-aligned window recompute from a corrected raw table
   rollback   void commits after a snapshot for current reads
              (Iceberg rollback_to_snapshot; metadata-only)
   tag        named snapshot refs: set | list | drop
@@ -106,6 +109,22 @@ def main(argv: list[str] | None = None) -> int:
     snap = sub.add_parser("snapshots", help="list commits present in a tier")
     snap.add_argument("--store", required=True)
     snap.add_argument("--tier", required=True)
+
+    fls = sub.add_parser(
+        "files", help="file-level metadata table (Iceberg table.files analog)"
+    )
+    fls.add_argument("--store", required=True)
+    fls.add_argument("--tier", required=True)
+
+    bf = sub.add_parser(
+        "backfill",
+        help="bucket-aligned window recompute from a corrected raw table",
+    )
+    bf.add_argument("--store", required=True)
+    bf.add_argument("--input", required=True, help="corrected raw parquet dir")
+    bf.add_argument("--from-ts", required=True, help="ISO timestamp (inclusive)")
+    bf.add_argument("--to-ts", required=True, help="ISO timestamp (exclusive)")
+    bf.add_argument("--tiers", default="1h,1d,30d")
 
     rb = sub.add_parser(
         "rollback",
@@ -201,6 +220,25 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps({"min_as_of": store.min_as_of(args.tier)}),
                 file=sys.stderr,
             )
+        elif args.cmd == "files":
+            from s1tiling_spark.plans.store import TierStore
+
+            for row in TierStore(spark, args.store).files(args.tier):
+                print(json.dumps(row))
+        elif args.cmd == "backfill":
+            from datetime import datetime
+
+            from s1tiling_spark.plans.backfill import backfill_stat_tiers
+            from s1tiling_spark.plans.store import TierStore
+
+            stats = backfill_stat_tiers(
+                TierStore(spark, args.store),
+                spark.read.parquet(args.input),
+                datetime.fromisoformat(args.from_ts),
+                datetime.fromisoformat(args.to_ts),
+                tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
+            )
+            print(json.dumps(stats))
         elif args.cmd == "rollback":
             from s1tiling_spark.plans.store import TierStore
 

@@ -617,6 +617,56 @@ class TierStore:
             .orderBy("commit_seq")
         )
 
+    def files(self, tier: str) -> list[dict]:
+        """File-level metadata table (Iceberg ``table.files`` analog):
+        one dict per live parquet file with its partition, size, row
+        count and commit_seq range — all read from parquet FOOTERS
+        (pyarrow, driver-side, no Spark job), the same
+        metadata-not-data discipline as ``_delete_groups``. This is the
+        capacity-planning / small-file-diagnosis view that feeds
+        ``maybe_compact`` decisions a human can audit: version spread
+        per file tells you whether merge-read tax is files or versions.
+        """
+        import pyarrow.parquet as pq
+
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for part in sorted(os.listdir(path)):
+            if not part.startswith("p_date="):
+                continue
+            pdir = os.path.join(path, part)
+            for fn in sorted(os.listdir(pdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(pdir, fn)
+                md = pq.read_metadata(fp)
+                seq_lo = seq_hi = None
+                try:
+                    idx = md.schema.names.index("commit_seq")
+                    stats = [
+                        md.row_group(g).column(idx).statistics
+                        for g in range(md.num_row_groups)
+                    ]
+                    if all(s is not None for s in stats):
+                        seq_lo = min(int(s.min) for s in stats)
+                        seq_hi = max(int(s.max) for s in stats)
+                except ValueError:
+                    pass
+                out.append(
+                    {
+                        "p_date": part.split("=", 1)[1],
+                        "file": fn,
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(fp),
+                        "row_groups": md.num_row_groups,
+                        "seq_min": seq_lo,
+                        "seq_max": seq_hi,
+                    }
+                )
+        return out
+
     # ---------- incremental / CDC ----------
     def read_incremental(
         self,

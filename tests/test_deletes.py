@@ -454,3 +454,29 @@ def test_changes_pruned_equals_unpruned_through_delete_and_rollback(
     )
     assert "p_date" in pf_line, pf_line
     assert 0 < df.count() < store.read("1d").count()
+
+
+def test_files_metadata_table(spark, seq, tmp_path):
+    """files(): footer-derived per-file rows/bytes/commit-seq ranges
+    must reconcile exactly with the physical row-version view, and a
+    compact must be visible as fewer files with merged seq ranges."""
+    store = TierStore(spark, str(tmp_path / "files"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    s2 = store.next_commit_seq()
+    store.append("1d", full, s2, "run-2")
+
+    fl = store.files("1d")
+    assert len(fl) > 0
+    assert sum(f["rows"] for f in fl) == store.read("1d", deduped=False).count()
+    assert all(f["bytes"] > 0 and f["row_groups"] >= 1 for f in fl)
+    assert {f["seq_min"] for f in fl} == {s1, s2}  # one commit per file
+    assert all(f["seq_min"] == f["seq_max"] for f in fl)
+
+    store.compact("1d")
+    fl2 = store.files("1d")
+    assert len(fl2) < len(fl)
+    assert sum(f["rows"] for f in fl2) == full.count()
+    # survivors keep their original commit_seq through the rewrite
+    assert all(f["seq_min"] == s2 and f["seq_max"] == s2 for f in fl2)
