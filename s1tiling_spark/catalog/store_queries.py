@@ -88,17 +88,28 @@ def matview_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv.refresh("mv-2")
     # batch 3: equality group-delete of the hot source → delete deltas
-    store.delete(
-        "1h",
-        store.read("1h").filter(F.col("source") == "src_hot"),
-        store.next_commit_seq(),
-        "batch-del",
-        keys=("bucket_start", "source"),
-    )
+    # (base is None when the input tables are empty — zero-row appends
+    # create no tier dir; the view must then be typed-empty, not crash)
+    base = store.read("1h")
+    if base is not None:
+        store.delete(
+            "1h",
+            base.filter(F.col("source") == "src_hot"),
+            store.next_commit_seq(),
+            "batch-del",
+            keys=("bucket_start", "source"),
+        )
     mv.refresh("mv-3")
-    # the store dir is per-call scratch: pin the result off its files
-    # (eager localCheckpoint) so the tree can be removed immediately —
-    # repeated gate runs must not accumulate /tmp parquet
-    out = mv.read().localCheckpoint(eager=True)
+    view = mv.read()
+    if view is None:
+        out = spark.createDataFrame(
+            [], "bucket_start timestamp, source string, cnt long, sum_n_tok long"
+        )
+    else:
+        # the store dir is per-call scratch: pin the result off its
+        # files (eager localCheckpoint) so the tree can be removed
+        # immediately — repeated gate runs must not accumulate /tmp
+        # parquet
+        out = view.localCheckpoint(eager=True)
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
