@@ -602,10 +602,18 @@ class TierStore:
         """List commits still present in ``tier``: one row per
         commit_seq with its run_id, row-version count and date range —
         the ``table.snapshots`` metadata-table analog. Any listed
-        ``commit_seq >= min_as_of(tier)`` is a valid ``as_of_seq``."""
+        ``commit_seq >= min_as_of(tier)`` is a valid ``as_of_seq``.
+        ``voided`` marks commits inside a rollback's excluded range:
+        invisible to current reads, still as-of readable as orphaned
+        history until a compaction expires them."""
         df = self.read(tier, deduped=False)
         if df is None:
             return None
+        voided = F.lit(False)
+        for lo, hi in self._rollback_ranges(tier):
+            voided = voided | (
+                (F.col("commit_seq") > lo) & (F.col("commit_seq") <= hi)
+            )
         return (
             df.groupBy("commit_seq")
             .agg(
@@ -614,6 +622,7 @@ class TierStore:
                 F.min("p_date").alias("min_date"),
                 F.max("p_date").alias("max_date"),
             )
+            .withColumn("voided", voided)
             .orderBy("commit_seq")
         )
 

@@ -272,3 +272,15 @@ def test_tag_rejects_negative_seq(spark, tmp_path):
     store = TierStore(spark, str(tmp_path / "negtag"))
     with pytest.raises(ValueError, match="not a commit_seq"):
         store.tag("bad", seq=-3)
+
+
+def test_snapshots_marks_voided_commits(spark, seq, tmp_path):
+    store = TierStore(spark, str(tmp_path / "snapvoid"))
+    b1 = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", b1, s1, "run-1")
+    s2 = store.next_commit_seq()
+    store.append("1d", b1, s2, "run-2")
+    store.rollback("1d", s1)
+    flags = {r["commit_seq"]: r["voided"] for r in store.snapshots("1d").collect()}
+    assert flags == {s1: False, s2: True}
