@@ -178,6 +178,36 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cascade":
         from s1tiling_spark.operators.cache import release_cached
 
+        # committed per-query bests from the last recorded run: any
+        # first sample regressing past 1.4x its prior best is retried
+        # (best-of-2, both samples recorded) — the host's noise band is
+        # wider than real regressions (PERF.md §6), and the bench must
+        # not publish noise as a regression (VERDICT r4 ask #6: ann_lsh
+        # +16% and sessionize +82% shipped as unretried noise samples)
+        prior_best: dict[str, float] = {}
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        try:
+            with open(detail_path) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
+        # per-entry try: ONE malformed record must not silently disable
+        # the regression guard for every other query (review catch, r5)
+        for name, sec in (prior.get("queries") or {}).items():
+            try:
+                prior_best[name] = float(sec)
+            except (TypeError, ValueError):
+                continue
+        for name, ss in (prior.get("samples") or {}).items():
+            try:
+                prior_best[name] = min(
+                    [prior_best.get(name, float("inf"))] + [float(s) for s in ss]
+                )
+            except (TypeError, ValueError):
+                continue
+
         for name, fn in e.queries().items():
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
@@ -189,12 +219,15 @@ def main() -> None:
             # (clearCache alone leaves Python-side plan refs behind)
             release_cached()
             spark.catalog.clearCache()
-            if t > 5.0:
-                # same best-of-2 policy as the flagship, applied only
-                # to the heavy tail: a single sample > 5 s has decent
-                # odds of being a host-steal artifact (measured 10-20x
-                # inflation windows, PERF.md §6); a cheap query's
-                # timing noise doesn't matter. Both samples recorded.
+            pb = prior_best.get(name)
+            regressed = pb is not None and t > 1.4 * pb and t > 0.3
+            if t > 5.0 or regressed:
+                # best-of-2 for the heavy tail (a single sample > 5 s
+                # has decent odds of being a host-steal artifact —
+                # measured 10-20x inflation windows, PERF.md §6) AND
+                # for anything regressing past 1.4x its committed best.
+                # Both samples recorded; a REAL regression shows up as
+                # two matching slow samples.
                 t1 = time.time()
                 materialize(fn(spark, SF_DIR))
                 t2 = time.time() - t1

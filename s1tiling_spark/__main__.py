@@ -148,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
     vidx.add_argument("--input", help="embeddings parquet (build/append)")
     vidx.add_argument("--bands", type=int, default=4)
     vidx.add_argument("--r", type=int, default=None, help="band-key bits (default: derived from corpus size)")
+    vidx.add_argument(
+        "--kind", choices=("lsh", "ivf"), default="lsh",
+        help="index family: banded-SRP LSH (default) or inverted-file IVF",
+    )
+    vidx.add_argument("--n-cells", type=int, default=None,
+                      help="IVF cell count (default: isqrt(corpus))")
 
     args = ap.parse_args(argv)
 
@@ -265,23 +271,32 @@ def main(argv: list[str] | None = None) -> int:
             from s1tiling_spark.plans.vector_index import VectorIndex
 
             idx = VectorIndex(spark, args.index)
+            ivf = args.kind == "ivf"
             if args.action == "status":
                 # grown_stale first: it may tighten n_vectors_upper via
                 # the exact count — read meta AFTER so the printed
                 # numbers are self-consistent
-                stale = idx.grown_stale()
-                meta = idx.meta()
+                stale = idx.ivf_grown_stale() if ivf else idx.grown_stale()
+                meta = idx.ivf_meta() if ivf else idx.meta()
                 print(json.dumps(dict(meta, grown_stale=stale) if meta else None))
             elif args.action == "compact":
+                if ivf:
+                    raise SystemExit(
+                        "IVF assignments dedup on read; compact applies to "
+                        "--kind lsh signatures"
+                    )
                 print(json.dumps(idx.compact()))
             else:
                 if not args.input:
                     raise SystemExit("index build/append requires --input")
                 emb = spark.read.parquet(args.input)
                 if args.action == "build":
-                    print(json.dumps(idx.build(emb, bands=args.bands, r=args.r)))
+                    if ivf:
+                        print(json.dumps(idx.build_ivf(emb, n_cells=args.n_cells)))
+                    else:
+                        print(json.dumps(idx.build(emb, bands=args.bands, r=args.r)))
                 else:
-                    print(json.dumps(idx.append(emb)))
+                    print(json.dumps(idx.append_ivf(emb) if ivf else idx.append(emb)))
         elif args.cmd == "metrics":
             from s1tiling_spark.plans.store import TierStore
 

@@ -509,12 +509,23 @@ def ivf_codebook(prep: DataFrame, n_cells: int) -> DataFrame:
         .orderBy("_h", "vec_id")
         .limit(n_cells)
     )
-    w = Window.orderBy("_h", "vec_id")  # n_cells rows — tiny
-    return sampled.withColumn("cid", F.row_number().over(w)).select(
-        "cid",
-        F.col("vec_id").alias("cvid"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
+    # cid = rank within the selected set. NOT a global window (a
+    # no-partition WindowExec sprays "moving all data to a single
+    # partition" warnings over every run): fold the n_cells rows into
+    # one sorted array and posexplode — struct ordering is field-
+    # lexicographic, so (_h, vec_id) leads and the tie-break fields
+    # are never reached (vec_id is unique). Same single-node memory
+    # profile the codebook already has (it is broadcast right after).
+    agg = sampled.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_h", "vec_id", "qv", "nrm"))
+        ).alias("_cb")
+    )
+    return agg.select(F.posexplode("_cb").alias("_i", "_s")).select(
+        (F.col("_i") + 1).cast("int").alias("cid"),
+        F.col("_s.vec_id").alias("cvid"),
+        F.col("_s.qv").alias("cqv"),
+        F.col("_s.nrm").alias("cnrm"),
     )
 
 

@@ -18,12 +18,16 @@ Mechanics per tier:
    the corrected window must be recomputed whole, from raw rows inside
    AND outside the window — so the caller passes the full corrected raw
    table and each tier filters its own expansion).
-2. GROUP-DELETE every existing key in the expanded window, keyed on
-   ``bucket_start`` alone — the equality-delete key-prefix rule masks
-   every source of the bucket, including sources the correction
-   removed entirely (the case a delete keyed on the corrected rows'
-   own keys would miss).
-3. APPEND the recomputed rollup of the expanded window.
+2. APPEND the recomputed rollup of the expanded window — newest-wins
+   supersedes every stale version of a rewritten key immediately.
+3. DELETE the keys the correction REMOVED (window winners older than
+   the append — e.g. a source dropped entirely, which the appended
+   rows' own keys cannot mask).
+
+Append-first ordering is deliberate crash safety (ADVICE r4): a crash
+between the two steps leaves removed keys stale-but-present — re-run
+the backfill to finish — whereas delete-first left the ENTIRE window
+masked-empty for current reads and the changelog until a manual re-run.
 
 Both steps ride the normal commit lineage, so time travel shows the
 pre-backfill state, `changes()` emits the exact per-key diff, and an
@@ -87,35 +91,41 @@ def backfill_stat_tiers(
     for tier in tiers:
         lo, hi = expanded_window(tier, from_ts, to_ts)
         stats = {"tier": tier, "window": [str(lo), str(hi)]}
-        existing = store.read(tier)
-        if existing is not None:
-            victims = (
-                existing.filter(
-                    (F.col("bucket_start") >= F.lit(lo))
-                    & (F.col("bucket_start") < F.lit(hi))
-                )
-                .select("bucket_start")
-                .distinct()
-            )
-            # key prefix (bucket_start,) masks EVERY source of the
-            # bucket — required: the correction may have removed a
-            # source entirely, so deleting only the corrected rows'
-            # own keys would resurrect it at read time
-            stats["deleted_buckets"] = store.delete(
-                tier,
-                victims,
-                store.next_commit_seq(),
-                run_id,
-                keys=("bucket_start",),
-            )
-        else:
-            stats["deleted_buckets"] = 0
         window_raw = corrected_raw.filter(
             (F.col("event_ts") >= F.lit(lo)) & (F.col("event_ts") < F.lit(hi))
         )
         recomputed = rollup_sequences(window_raw, tier)
-        stats["appended_rows"] = store.append(
-            tier, recomputed, store.next_commit_seq(), run_id
-        )
+        # APPEND FIRST: newest-wins already makes the recomputed rows
+        # supersede every stale version of the same key, so a crash
+        # right after this step leaves the window stale-but-present for
+        # the removed keys — never masked-empty (the delete-then-append
+        # ordering had exactly that window: a crash between the two
+        # served NOTHING for the whole backfill range until a manual
+        # re-run). Re-running the backfill heals: the duplicate append
+        # is absorbed by dedup-on-read and the delete below completes.
+        append_seq = store.next_commit_seq()
+        stats["appended_rows"] = store.append(tier, recomputed, append_seq, run_id)
+        # THEN delete only the keys the correction REMOVED: window
+        # winners older than our append are precisely the keys the
+        # recompute did not rewrite (e.g. a source dropped entirely).
+        # Keyed on the full natural key — a later-seq bucket-prefix
+        # delete would mask the fresh rows too (deletes mask versions
+        # committed before them).
+        current = store.read(tier)
+        if current is not None:
+            victims = current.filter(
+                (F.col("bucket_start") >= F.lit(lo))
+                & (F.col("bucket_start") < F.lit(hi))
+                & (F.col("commit_seq") < append_seq)
+            ).select("bucket_start", "source")
+            stats["deleted_keys"] = store.delete(
+                tier,
+                victims,
+                store.next_commit_seq(),
+                run_id,
+                keys=("bucket_start", "source"),
+            )
+        else:
+            stats["deleted_keys"] = 0
         out.append(stats)
     return out

@@ -109,12 +109,23 @@ class AdditiveMatView:
 
     def _repair_crashed_refresh(self, base_seq: int) -> int:
         """A crash between the delta append and the cursor write leaves
-        a committed ``mv~<from>~<to>`` marker with ``from == cursor``:
+        a COMMITTED ``mv~<from>~<to>`` marker with ``from == cursor``:
         that delta IS applied, so complete the refresh by advancing the
         cursor to the marker's ``to`` — recomputing it would
         double-count the range (append's idempotency key blocks the
         exact replay, but a RETRY computes a wider range ``(from,
-        to']`` that overlaps the applied one)."""
+        to']`` that overlaps the applied one).
+
+        A ``pending`` marker (the two-phase append protocol, r5) means
+        the crash hit DURING the delta's file moves: that delta is torn
+        and must NOT advance the cursor. Repair it here — remove the
+        torn commit's files and the marker — because the retry's range
+        end (a fresh ``last_commit_seq``) yields a DIFFERENT
+        idempotency key, so append()'s own same-key repair would never
+        fire and the partial files would stay live forever (review
+        catch, r5)."""
+        import json
+
         runs_dir = os.path.join(
             self.store.base_dir, "_committed_runs", self.view_tier
         )
@@ -123,8 +134,19 @@ class AdditiveMatView:
         applied_to = base_seq
         prefix = f"mv~{base_seq}~"
         for fn in os.listdir(runs_dir):
-            if fn.startswith(prefix):
+            if not fn.startswith(prefix):
+                continue
+            path = os.path.join(runs_dir, fn)
+            with open(path) as f:
+                rec = json.load(f)
+            # legacy markers (no state) were written post-move: committed
+            if rec.get("state", "committed") == "committed":
                 applied_to = max(applied_to, int(fn.split("~")[2]))
+            else:
+                self.store._remove_commit_files(
+                    self.view_tier, int(rec["commit_seq"])
+                )
+                os.remove(path)
         if applied_to != base_seq:
             self._advance_cursor(applied_to)
         return applied_to
@@ -178,6 +200,8 @@ class AdditiveMatView:
         the lagging-view recovery Iceberg-backed MV engines perform
         when the incremental log is unavailable. Routine maintenance
         must never brick the view."""
+        from s1tiling_spark.operators.cache import scoped_persists
+
         cursor = self._repair_crashed_refresh(self.last_refreshed_seq())
         if cursor > 0 and cursor < self.store.min_as_of(self.base_tier):
             self._rebuild_reset()
@@ -185,6 +209,14 @@ class AdditiveMatView:
         to_seq = self.store.last_commit_seq()
         if to_seq == cursor:
             return {"from_seq": cursor, "to_seq": to_seq, "rows": 0}
+        with scoped_persists():
+            return self._refresh_range(cursor, to_seq, run_id)
+
+    def _refresh_range(self, cursor: int, to_seq: int, run_id: str) -> dict:
+        """Refresh body — every action completes in here, so the caller
+        can release the scope's tracked persists (the changelog's
+        touched-key cache) on exit; a long-lived per-batch refresher
+        must not accumulate caches across refreshes."""
         if cursor == 0:
             base = self.store.read(
                 self.base_tier, as_of_seq=to_seq, keys=self.base_keys
@@ -237,15 +269,20 @@ class AdditiveMatView:
                         delta,
                         seq,
                         run_id,
-                        idempotency_key=f"mv~{cursor}~{seq}",
+                        # keyed by the BASE range applied, not our own
+                        # append seq: the repair advances the cursor to
+                        # the marker's `to`, and under concurrent
+                        # writers only the base range is safe to skip
+                        idempotency_key=f"mv~{cursor}~{to_seq}",
                     )
-                    # Advance the cursor OVER our own delta append: the
-                    # store is single-writer, so (to_seq, seq] contains
-                    # exactly that append (a different tier — invisible
-                    # to the base changelog). Leaving the cursor at
-                    # to_seq would make every next refresh re-scan a
-                    # range that can only ever be empty.
-                    cursor_target = seq
+                    # Advance the cursor OVER our own delta append only
+                    # when nothing interleaved: with concurrent writers
+                    # (CAS seq, r5) a base commit may land between
+                    # to_seq and our seq — skipping it would lose its
+                    # delta forever. When seq == to_seq + 1 the range
+                    # (to_seq, seq] contains exactly our own
+                    # different-tier append and the skip is free.
+                    cursor_target = seq if seq == to_seq + 1 else to_seq
             finally:
                 delta.unpersist()
         self._advance_cursor(cursor_target)
@@ -265,3 +302,360 @@ class AdditiveMatView:
         if df is None:
             return None
         return df.filter(F.col("_mv_n") > 0).drop("_mv_n")
+
+
+class MergeMatView(AdditiveMatView):
+    """Incrementally-maintained view over NON-subtractable aggregates:
+    count / sum / min / max / HLL distinct-count registers.
+
+    Min, max and HLL registers are mergeable but not retractable — an
+    insert folds into the group state (``least``/``greatest``/register
+    max), but a delete cannot be "subtracted" (the retracted value may
+    BE the extremum / the only witness of a register). The classic IVM
+    answer (and this class's algebra):
+
+    - groups touched ONLY by inserts → MERGE the insert partial into
+      the group's current row (no base scan at all);
+    - groups touched by any retraction (delete / update_before) →
+      RECOMPUTE the group from the base's current state (the changelog
+      already yields the touched keys, so the recompute reads only
+      those groups' rows — a broadcast semi-join, partition-pruned when
+      the group's date span is declared);
+    - groups whose base rows all disappeared → equality-DELETE the view
+      row (a tombstone-free disappear, reusing the store's delete
+      masks).
+
+    The view tier is NEWEST-WINS (each refresh appends the full updated
+    group rows; :meth:`TierStore.read` serves the latest per key) —
+    unlike :class:`AdditiveMatView`'s additive-partials tier, a stale
+    extremum must be REPLACED, not folded. TimescaleDB's continuous
+    aggregates make the same split: additive measures are finalized by
+    summing partials, min/max by invalidation + re-aggregation of the
+    touched buckets.
+
+    Crash safety: view-row deletes are committed BEFORE the upsert
+    append that carries the ``mv~<from>~<to>`` idempotency marker — a
+    crash between them re-runs the whole range (no marker yet) and the
+    duplicate delete is harmless (the key sets are disjoint from the
+    append's by construction); a crash after the append repairs by
+    cursor advance exactly like the additive view.
+
+    ``hll_cols`` maps an output prefix to the base column whose
+    distinct values are counted per group; the group state is a dense
+    ``array<int>`` of 2^log2(m) registers (``<name>_regs``), merged by
+    element-wise max — bit-identical to the long-form registers of
+    ``operators/sketch.py`` (same hash, same split), so the gated
+    oracle can compare register vectors across engines.
+    """
+
+    def __init__(
+        self,
+        store: TierStore,
+        name: str,
+        base_tier: str,
+        base_keys: tuple[str, ...],
+        group_cols: dict[str, Column],
+        sum_cols: tuple[str, ...] = (),
+        min_cols: tuple[str, ...] = (),
+        max_cols: tuple[str, ...] = (),
+        hll_cols: dict[str, str] | None = None,
+        hll_m: int = 64,
+        group_date_span_days: int | None = None,
+    ) -> None:
+        super().__init__(store, name, base_tier, base_keys, group_cols, sum_cols)
+        self.min_cols = tuple(min_cols)
+        self.max_cols = tuple(max_cols)
+        self.hll_cols = dict(hll_cols or {})
+        self.hll_m = int(hll_m)
+        self.group_date_span_days = group_date_span_days
+
+    # ---------- aggregate shape ----------
+    @property
+    def _measure_cols(self) -> list[str]:
+        return [
+            "n_rows",
+            *self.sum_cols,
+            *[f"{c}_min" for c in self.min_cols],
+            *[f"{c}_max" for c in self.max_cols],
+            *[f"{name}_regs" for name in self.hll_cols],
+        ]
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        """Base-shaped rows → one view row per group: the full-load,
+        recompute AND insert-partial aggregate (one definition — the
+        three paths must agree exactly or merges drift from rebuilds).
+
+        ONE hash aggregate, map-side combinable: the HLL register
+        vector is expressed as m conditional-max columns (register
+        index tested per row, JVM codegen), folded into a dense array —
+        partial aggregation applies, unlike a two-level
+        (group, reg)-then-regroup shape which would shuffle twice."""
+        from s1tiling_spark.operators.sketch import hll_reg_rho
+
+        passthru = list(
+            dict.fromkeys([*self.sum_cols, *self.min_cols, *self.max_cols])
+        )
+        proj = rows.select(
+            *[expr.alias(k) for k, expr in self.group_cols.items()],
+            *passthru,
+            *[
+                c
+                for pair in [
+                    (reg.alias(f"_{name}_reg"), rho.alias(f"_{name}_rho"))
+                    for name, (reg, rho) in [
+                        (n, hll_reg_rho(F.col(src), self.hll_m))
+                        for n, src in self.hll_cols.items()
+                    ]
+                ]
+                for c in pair
+            ],
+        )
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        aggs += [F.sum(c).alias(c) for c in self.sum_cols]
+        aggs += [F.min(c).alias(f"{c}_min") for c in self.min_cols]
+        aggs += [F.max(c).alias(f"{c}_max") for c in self.max_cols]
+        reg_maxes = {}
+        for name in self.hll_cols:
+            for i in range(self.hll_m):
+                col = F.max(
+                    F.when(F.col(f"_{name}_reg") == i, F.col(f"_{name}_rho"))
+                ).alias(f"_{name}_r{i}")
+                aggs.append(col)
+                reg_maxes.setdefault(name, []).append(f"_{name}_r{i}")
+        out = proj.groupBy(*self.view_keys).agg(*aggs)
+        for name, parts in reg_maxes.items():
+            out = out.withColumn(
+                f"{name}_regs",
+                F.array(*[F.coalesce(F.col(p), F.lit(0)) for p in parts]),
+            ).drop(*parts)
+        return out.select(*self.view_keys, *self._measure_cols)
+
+    def _merge_rows(self, part: DataFrame, current: DataFrame | None) -> DataFrame:
+        """Fold an insert-only partial into the groups' current rows
+        (current is None when the view tier does not exist yet)."""
+        if current is None:
+            return part.select(*self.view_keys, *self._measure_cols)
+        cur = current.select(
+            *self.view_keys,
+            *[F.col(c).alias(f"_old_{c}") for c in self._measure_cols],
+        )
+        j = part.join(cur, list(self.view_keys), "left")
+        merged = [
+            (F.col("n_rows") + F.coalesce(F.col("_old_n_rows"), F.lit(0))).alias(
+                "n_rows"
+            )
+        ]
+        merged += [
+            (F.col(c) + F.coalesce(F.col(f"_old_{c}"), F.lit(0))).alias(c)
+            for c in self.sum_cols
+        ]
+        merged += [
+            F.least(F.col(f"{c}_min"), F.coalesce(F.col(f"_old_{c}_min"),
+                                                  F.col(f"{c}_min"))).alias(f"{c}_min")
+            for c in self.min_cols
+        ]
+        merged += [
+            F.greatest(F.col(f"{c}_max"), F.coalesce(F.col(f"_old_{c}_max"),
+                                                     F.col(f"{c}_max"))).alias(f"{c}_max")
+            for c in self.max_cols
+        ]
+        merged += [
+            F.when(
+                F.col(f"_old_{name}_regs").isNull(), F.col(f"{name}_regs")
+            )
+            .otherwise(
+                F.zip_with(
+                    F.col(f"{name}_regs"),
+                    F.col(f"_old_{name}_regs"),
+                    lambda a, b: F.greatest(a, b),
+                )
+            )
+            .alias(f"{name}_regs")
+            for name in self.hll_cols
+        ]
+        return j.select(*self.view_keys, *merged)
+
+    # ---------- refresh ----------
+    def _refresh_range(self, cursor: int, to_seq: int, run_id: str) -> dict:
+        if cursor == 0:
+            base = self.store.read(
+                self.base_tier, as_of_seq=to_seq, keys=self.base_keys
+            )
+            upsert = None if base is None else self._aggregate(base)
+            dead_keys = None
+        else:
+            upsert, dead_keys = self._incremental_upsert(cursor, to_seq)
+        rows = 0
+        cursor_target = to_seq
+        if upsert is not None:
+            upsert = upsert.persist()
+            try:
+                n_up = upsert.count()
+                n_dead = 0
+                if dead_keys is not None:
+                    dead_keys = dead_keys.persist()
+                    n_dead = dead_keys.count()
+                if n_up > 0 or n_dead > 0:
+                    seq = self.store.next_commit_seq()
+                    if n_dead > 0:
+                        # delete BEFORE the marker-carrying append (see
+                        # class docstring crash-safety note)
+                        self.store.delete(
+                            self.view_tier,
+                            dead_keys,
+                            seq,
+                            run_id,
+                            keys=self.view_keys,
+                        )
+                    if n_up > 0:
+                        rows = self.store.append(
+                            self.view_tier,
+                            upsert,
+                            seq,
+                            run_id,
+                            idempotency_key=f"mv~{cursor}~{to_seq}",
+                        )
+                    else:
+                        # delete-only refresh: commit the marker so a
+                        # crash before the cursor write cannot re-run
+                        # the range (append() records committed markers
+                        # even for empty frames)
+                        self.store.append(
+                            self.view_tier,
+                            upsert.limit(0),
+                            seq,
+                            run_id,
+                            idempotency_key=f"mv~{cursor}~{to_seq}",
+                        )
+                    cursor_target = seq if seq == to_seq + 1 else to_seq
+            finally:
+                upsert.unpersist()
+                if dead_keys is not None:
+                    dead_keys.unpersist()
+        self._advance_cursor(cursor_target)
+        return {"from_seq": cursor, "to_seq": cursor_target, "rows": rows}
+
+    def _incremental_upsert(
+        self, cursor: int, to_seq: int
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(upsert rows, dead group keys) for the range (cursor, to_seq]."""
+        ch = self.store.changes(
+            self.base_tier,
+            from_seq=cursor,
+            to_seq=to_seq,
+            keys=self.base_keys,
+            split_updates=True,
+            prune_partitions="bucket_start" in self.base_keys,
+        )
+        if ch is None:
+            return None, None
+        from s1tiling_spark.operators.cache import persist_tracked
+
+        # scope-released by refresh()'s scoped_persists wrapper — every
+        # downstream action (counts, delete, append) completes inside
+        # the scope, so no eager checkpoint is needed to outlive it
+        touched = persist_tracked(
+            ch.select(
+                *[expr.alias(k) for k, expr in self.group_cols.items()], "op"
+            )
+            .groupBy(*self.view_keys)
+            .agg(
+                F.max(
+                    F.when(F.col("op").isin("delete", "update_before"), 1).otherwise(0)
+                ).alias("_retract")
+            )
+        )
+        merge_keys = touched.filter(F.col("_retract") == 0).drop("_retract")
+        recompute_keys = touched.filter(F.col("_retract") == 1).drop("_retract")
+        # -- merge path: fold insert partials into current rows.
+        # update_after is included for the cross-group-move case (a
+        # group col derived from a non-key column): the after-image can
+        # land in a group whose only touch is that arrival — without a
+        # retraction there, it merges like an insert. In the common
+        # key-derived-group case the pair lands in ONE group, which is
+        # then retraction-touched and recomputed, so the merge path
+        # never sees it (review catch, r5).
+        inserts = ch.filter(F.col("op").isin("insert", "update_after"))
+        part = self._aggregate(inserts).join(
+            F.broadcast(merge_keys), list(self.view_keys), "semi"
+        )
+        merged = self._merge_rows(
+            part, self.store.read(self.view_tier, keys=self.view_keys)
+        )
+        # -- recompute path: re-aggregate touched groups from base
+        p_dates = self._recompute_p_dates(recompute_keys)
+        base = self.store.read(
+            self.base_tier,
+            as_of_seq=to_seq,
+            keys=self.base_keys,
+            p_dates=p_dates,
+        )
+        if base is None:
+            recomputed = None
+        else:
+            recomputed = self._aggregate(base).join(
+                F.broadcast(recompute_keys), list(self.view_keys), "semi"
+            )
+        if recomputed is None:
+            upsert = merged
+            dead = recompute_keys
+        else:
+            upsert = merged.unionByName(recomputed)
+            dead = recompute_keys.join(
+                recomputed.select(*self.view_keys), list(self.view_keys), "anti"
+            )
+        return upsert, dead
+
+    def _recompute_p_dates(self, recompute_keys: DataFrame) -> list | None:
+        """Partition list covering the recompute groups' base rows, when
+        the view grain's date span is declared: each group's base rows
+        live in [date(bucket_start), +span days). Driver-side collect of
+        the touched GROUP keys — metadata-scale, same discipline as the
+        changelog's touched-partition pruning."""
+        if self.group_date_span_days is None or "bucket_start" not in self.view_keys:
+            return None
+        from datetime import timedelta
+
+        days = [
+            r["d"]
+            for r in recompute_keys.select(
+                F.to_date("bucket_start").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        out = set()
+        for d in days:
+            for i in range(self.group_date_span_days):
+                out.add(d + timedelta(days=i))
+        return sorted(out) if out else None
+
+    # ---------- serving ----------
+    def read(self, as_of_seq: int | None = None) -> DataFrame | None:
+        """Current (or as-of) view rows: newest-wins per group, delete
+        masks applied by the store."""
+        return self.store.read(
+            self.view_tier, keys=self.view_keys, as_of_seq=as_of_seq
+        )
+
+    def read_with_estimates(self, as_of_seq: int | None = None) -> DataFrame | None:
+        """:meth:`read` plus an ``<name>_est`` HLL cardinality estimate
+        per register vector (raw HLL estimator; serving surface — the
+        oracle-compared artifact is the registers themselves)."""
+        from s1tiling_spark.operators.sketch import _hll_params
+
+        df = self.read(as_of_seq)
+        if df is None:
+            return None
+        _, _, alpha = _hll_params(self.hll_m)
+        for name in self.hll_cols:
+            inv_sum = F.aggregate(
+                F.col(f"{name}_regs"),
+                F.lit(0.0),
+                lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+            )
+            df = df.withColumn(
+                f"{name}_est",
+                F.lit(alpha) * F.lit(float(self.hll_m)) ** 2 / inv_sum,
+            )
+        return df

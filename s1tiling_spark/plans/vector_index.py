@@ -269,6 +269,193 @@ class VectorIndex:
         """Deduped signature relation: newest commit per (vec_id, band)."""
         return self._deduped_sigs(keep_seq=False)
 
+    # ---------- IVF (inverted-file) index ----------
+    # Independent lifecycle from the LSH signatures (own meta file, own
+    # tables) — an index dir may carry either kind or both. The
+    # serving-side anatomy mirrors operators.similarity.ivf_topk; what
+    # the index adds is that the two O(corpus) passes (codebook
+    # selection + cell assignment) run ONCE at build and appends assign
+    # ONLY the new vectors against the stored codebook.
+
+    def _ivf_meta_path(self) -> str:
+        return os.path.join(self.base_dir, "_ivf_meta.json")
+
+    def ivf_meta(self) -> dict | None:
+        if not os.path.exists(self._ivf_meta_path()):
+            return None
+        with open(self._ivf_meta_path()) as f:
+            return json.load(f)
+
+    def _write_ivf_meta(self, meta: dict) -> None:
+        from s1tiling_spark.plans.store import atomic_json_write
+
+        atomic_json_write(self._ivf_meta_path(), meta)
+
+    def _codebook_path(self) -> str:
+        return os.path.join(self.base_dir, "ivf_codebook")
+
+    def _cells_path(self) -> str:
+        return os.path.join(self.base_dir, "ivf_cells")
+
+    def build_ivf(
+        self,
+        emb: DataFrame,
+        n_cells: int | None = None,
+        n_vectors: int | None = None,
+    ) -> dict:
+        """Materialize the IVF index: hash-stratified rank codebook
+        (``n_cells ≈ √N`` unless pinned — the same derivation as the
+        fresh ``ivf_topk``) + argmax-cosine cell assignment per corpus
+        vector. Same crash ordering as :meth:`build`: stale meta is
+        removed before any data write, so a crash mid-build leaves an
+        index that refuses to serve, never a codebook/assignment
+        mismatch."""
+        import math
+
+        from s1tiling_spark.operators.similarity import (
+            _assign_cells,
+            ivf_codebook,
+        )
+
+        prep = _prepared(emb)
+        if n_vectors is None:
+            n_vectors = prep.count()
+        if n_cells is None:
+            n_cells = max(4, math.isqrt(int(n_vectors)))
+        if os.path.exists(self._ivf_meta_path()):
+            os.remove(self._ivf_meta_path())
+        cents = ivf_codebook(prep, n_cells)
+        cents.write.mode("overwrite").parquet(self._codebook_path())
+        stored = F.broadcast(self.spark.read.parquet(self._codebook_path()))
+        cells = (
+            _assign_cells(prep, stored)
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "cid")
+            .withColumn("commit_seq", F.lit(1))
+        )
+        # cluster by cid inside files: probe joins filter on cell id, so
+        # tight row-group stats stand in for the per-cid partition dirs
+        # √N cells would make pathological
+        cells.repartition("cid").sortWithinPartitions("cid").write.mode(
+            "overwrite"
+        ).parquet(self._cells_path())
+        meta = {
+            "n_cells": int(n_cells),
+            "built_n_vectors": int(n_vectors),
+            "n_vectors_upper": int(n_vectors),
+            "commit_seq": 1,
+        }
+        self._write_ivf_meta(meta)
+        return meta
+
+    def append_ivf(self, new_emb: DataFrame, n_new: int | None = None) -> dict:
+        """Assign-new-only maintenance: O(new vectors) — one broadcast
+        argmax pass of the batch against the STORED codebook; existing
+        assignments are never read or rewritten. Re-appended vec_ids
+        supersede their cell via commit lineage (newest wins on read).
+        Seq reserved in meta before data lands (same rationale as
+        :meth:`append`)."""
+        from s1tiling_spark.operators.similarity import _assign_cells
+
+        meta = self.ivf_meta()
+        if meta is None:
+            raise ValueError("IVF index not built — call build_ivf() first")
+        seq = meta["commit_seq"] + 1
+        meta["commit_seq"] = seq
+        self._write_ivf_meta(meta)
+        stored = F.broadcast(self.spark.read.parquet(self._codebook_path()))
+        cells = (
+            _assign_cells(_prepared(new_emb), stored)
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "cid")
+            .withColumn("commit_seq", F.lit(seq))
+        )
+        if n_new is None:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"vidx-ivf-append-{seq}")
+            cells = cells.observe(obs, F.count(F.lit(1)).alias("rows"))
+            cells.write.mode("append").parquet(self._cells_path())
+            n_new = int(obs.get["rows"])
+        else:
+            cells.write.mode("append").parquet(self._cells_path())
+        meta["n_vectors_upper"] = int(meta["n_vectors_upper"]) + int(n_new)
+        self._write_ivf_meta(meta)
+        return meta
+
+    def ivf_grown_stale(self) -> bool:
+        """Cell-occupancy drift: a fresh build at the current corpus
+        size would pick ``isqrt(N)`` cells (occupancy √N); advise a
+        rebuild when the actual average occupancy ``N/n_cells`` exceeds
+        4× that — i.e. the corpus grew ≥16× past the build. Two-stage
+        like :meth:`grown_stale`: the cheap append-count upper bound
+        gates the exact distinct count."""
+        import math
+
+        meta = self.ivf_meta()
+        if meta is None:
+            return False
+
+        def _stale(n: int) -> bool:
+            return math.isqrt(int(n)) > 4 * int(meta["n_cells"])
+
+        if not _stale(meta["n_vectors_upper"]):
+            return False
+        n_exact = (
+            self.spark.read.parquet(self._cells_path())
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        meta["n_vectors_upper"] = int(n_exact)
+        self._write_ivf_meta(meta)
+        return _stale(n_exact)
+
+    def _ivf_cells(self) -> DataFrame:
+        """Newest cell assignment per vec_id (MERGE-on-read)."""
+        w = Window.partitionBy("vec_id").orderBy(F.desc("commit_seq"))
+        return (
+            self.spark.read.parquet(self._cells_path())
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def ivf_topk(
+        self,
+        emb: DataFrame,
+        k: int = 5,
+        query_mod: int = 50,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """Serve IVF ANN from the STORED codebook + assignments: only
+        the query vectors are assigned at query time (one broadcast
+        argmax over Q rows, not N); candidates come from the persisted
+        inverted file. Bit-identical to a fresh
+        ``ivf_topk(emb, n_cells=meta['n_cells'])`` on the same corpus
+        (pinned by tests/test_vector_index.py)."""
+        from s1tiling_spark.operators.cache import persist_tracked
+        from s1tiling_spark.operators.similarity import (
+            _assign_cells,
+            _rerank_topk,
+        )
+
+        meta = self.ivf_meta()
+        if meta is None:
+            raise ValueError("IVF index not built — call build_ivf() first")
+        prep = persist_tracked(_prepared(emb))
+        stored = F.broadcast(self.spark.read.parquet(self._codebook_path()))
+        queries = prep.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+        qprobe = (
+            _assign_cells(queries, stored)
+            .filter(F.col("crk") <= nprobe)
+            .select(F.col("vec_id").alias("q_id"), "cid")
+        )
+        cand = qprobe.join(self._ivf_cells(), "cid").filter(
+            F.col("vec_id") != F.col("q_id")
+        )
+        return _rerank_topk(cand, prep, k)
+
     def topk(
         self,
         emb: DataFrame,

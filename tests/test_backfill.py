@@ -68,7 +68,15 @@ def test_backfill_matches_direct_rollup_of_corrected(spark, raw, corrected, tmp_
     pre_1d = _state(store, "1d")
 
     stats = backfill_stat_tiers(store, corrected, FROM, TO)
-    assert all(s["deleted_buckets"] > 0 and s["appended_rows"] > 0 for s in stats)
+    # the correction removed src_hot in-window → tiers whose buckets sit
+    # inside [FROM, TO) record removed-key deletes; the 30d bucket keeps
+    # its src_hot key (rows OUTSIDE the corrected window still feed it,
+    # so the recompute rewrites it and nothing needs deleting)
+    assert all(s["appended_rows"] > 0 for s in stats)
+    by_tier = {s["tier"]: s for s in stats}
+    assert by_tier["1h"]["deleted_keys"] > 0
+    assert by_tier["1d"]["deleted_keys"] > 0
+    assert by_tier["30d"]["deleted_keys"] == 0
 
     for tier in ("1h", "1d", "30d"):
         assert_frames_match(
@@ -120,3 +128,47 @@ def test_matview_absorbs_backfill_through_changelog(spark, raw, corrected, tmp_p
         .toPandas()
     )
     assert_frames_match(mv.read().toPandas(), expected)
+
+
+def test_crash_between_append_and_delete_is_stale_not_empty(
+    spark, raw, corrected, tmp_path, monkeypatch
+):
+    """Append-first crash residue (ADVICE r4): a crash after the
+    recompute append but before the removed-key delete must leave the
+    window serving the CORRECTED values (removed source stale-but-
+    present) — never masked-empty — and a re-run must finish the job."""
+    store = TierStore(spark, str(tmp_path / "bfcrash"))
+    store.append("1d", rollup_sequences(raw, "1d"), store.next_commit_seq(), "orig")
+
+    real_delete = TierStore.delete
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before delete")
+
+    monkeypatch.setattr(TierStore, "delete", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        backfill_stat_tiers(store, corrected, FROM, TO, tiers=("1d",))
+    monkeypatch.setattr(TierStore, "delete", real_delete)
+
+    in_win = (F.col("bucket_start") >= F.lit(FROM)) & (F.col("bucket_start") < F.lit(TO))
+    mid = store.read("1d")
+    # corrected keys already serve the corrected values...
+    want = rollup_sequences(corrected, "1d").filter(
+        in_win & (F.col("source") != "src_hot")
+    )
+    assert_frames_match(
+        mid.filter(in_win & (F.col("source") != "src_hot"))
+        .drop("commit_seq", "run_id", "p_date")
+        .toPandas(),
+        want.toPandas(),
+    )
+    # ...and the removed source is stale-but-present, NOT a black hole
+    assert not mid.filter(in_win & (F.col("source") == "src_hot")).isEmpty()
+    assert not mid.filter(in_win).isEmpty()
+
+    # re-run heals completely
+    backfill_stat_tiers(store, corrected, FROM, TO, tiers=("1d",))
+    assert_frames_match(
+        store.read("1d").drop("commit_seq", "run_id", "p_date").toPandas(),
+        rollup_sequences(corrected, "1d").toPandas(),
+    )

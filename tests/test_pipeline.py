@@ -152,6 +152,62 @@ def test_retention_expire(spark, seq, tmp_path):
     assert store.read("1h").filter(F.col("bucket_start") < "2024-01-15").count() == 0
 
 
+def test_retention_blocks_silent_truncated_time_travel(spark, seq, tmp_path):
+    """expire() records a retention floor: as-of reads of states that
+    predate the expiry RAISE (never silently reconstruct a state
+    missing the dropped dates), unless the caller scopes the read to
+    surviving dates via p_dates; states at/after the expiry stay exact.
+    (ADVICE r4: expire() vs the never-silently-wrong as-of contract.)"""
+    import pytest as _pytest
+
+    store = TierStore(spark, str(tmp_path / "expfloor"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(seq)
+    pre_seq = store.last_commit_seq()
+    assert store.expire("1h", "2024-01-15") > 0
+    floor_date, floor_seq = store.retention_floor("1h")
+    # the expiry consumed its own commit seq — every pre-expiry state
+    # is strictly below the floor seq
+    assert floor_date == "2024-01-15" and floor_seq > pre_seq
+    with _pytest.raises(ValueError, match="retention expiry"):
+        store.read("1h", as_of_seq=pre_seq)
+    # explicit acknowledgment: scoped to surviving dates, the read works
+    ok = store.read("1h", as_of_seq=pre_seq, p_dates=["2024-01-20"])
+    assert ok.filter(F.to_date("bucket_start") == "2024-01-20").count() > 0
+    # but a p_dates list reaching below the floor still raises
+    with _pytest.raises(ValueError, match="retention expiry"):
+        store.read("1h", as_of_seq=pre_seq, p_dates=["2024-01-10"])
+    # post-expiry states are exact — no raise
+    store.append(
+        "1h",
+        store.read("1h").limit(1).drop("commit_seq", "run_id", "p_date"),
+        store.next_commit_seq(),
+        "post",
+    )
+    assert store.read("1h", as_of_seq=store.last_commit_seq()) is not None
+
+
+def test_repair_gc_collects_old_append_staging(spark, seq, tmp_path):
+    """A crashed append's staging dir is GC'd by the compact repair once
+    it is old enough — fresh staging (a live concurrent writer) is left
+    alone. (ADVICE r4: staging-dir disk leak.)"""
+    import os
+    import time as _time
+
+    store = TierStore(spark, str(tmp_path / "stagegc"))
+    pipe = TierPipeline(store, TierPipelineConfig(hist=False, compress=False))
+    pipe.run(seq)
+    stale = store.tier_path("1h") + "_tmp_deadbeef"
+    fresh = store.tier_path("1h") + "_tmp_cafebabe"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - 7 * 3600
+    os.utime(stale, (old, old))
+    store._repair_crashed_compact("1h")
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
+
+
 def test_compaction_preserves_reads_and_shrinks_files(spark, seq, tmp_path):
     """compact() physically applies MERGE-on-read: identical read
     results, fewer files, original commit_seq kept so a LATER append
@@ -254,3 +310,70 @@ def test_store_read_dynamic_partition_pruning(spark, seq, tmp_path):
         str(r["p_date"]) for r in joined.select("p_date").distinct().collect()
     }
     assert got_days == kept
+
+
+def test_changes_and_matview_survive_retention(spark, seq, tmp_path):
+    """Retention must not brick incremental consumers: changes() over a
+    range that starts below the expiry seq still works (both as-of
+    states read the same surviving files — no spurious retraction), and
+    a matview whose cursor lagged the expiry refreshes fine, KEEPING its
+    rolled-up points for the expired dates (TimescaleDB's
+    retention-vs-continuous-aggregate semantics)."""
+    from s1tiling_spark.operators.rollup import rollup_sequences
+    from s1tiling_spark.plans.matview import AdditiveMatView
+
+    store = TierStore(spark, str(tmp_path / "retmv"))
+    mv = AdditiveMatView(
+        store,
+        name="daily",
+        base_tier="1h",
+        base_keys=("bucket_start", "source"),
+        group_cols={
+            "bucket_start": F.date_trunc("day", F.col("bucket_start")),
+            "source": F.col("source"),
+        },
+        sum_cols=("cnt", "sum_n_tok"),
+    )
+    early = rollup_sequences(seq.filter(F.col("event_ts") < "2024-01-20"), "1h")
+    store.append("1h", early, store.next_commit_seq(), "b1")
+    mv.refresh("mv-1")
+    view_before = mv.read().toPandas()
+    lag_cursor = mv.last_refreshed_seq()
+
+    late = rollup_sequences(seq.filter(F.col("event_ts") >= "2024-01-20"), "1h")
+    store.append("1h", late, store.next_commit_seq(), "b2")
+    assert store.expire("1h", "2024-01-15") > 0
+
+    # changes() from below the expiry seq still serves the diff
+    ch = store.changes("1h", from_seq=lag_cursor)
+    assert ch.filter(F.col("op") == "insert").count() > 0
+
+    # the lagged matview refresh absorbs the late batch; expired-date
+    # aggregates are retained, not retracted
+    mv.refresh("mv-2")
+    after = mv.read().toPandas()
+    assert len(after) > len(view_before)
+    kept = after[after["bucket_start"] < "2024-01-15"]
+    want = view_before[view_before["bucket_start"] < "2024-01-15"]
+    assert len(kept) == len(want) and len(kept) > 0
+
+
+def test_scoped_persists_survives_registry_prune(spark, monkeypatch):
+    """scoped_persists must release by IDENTITY: a persist_tracked()
+    inside the scope can trigger the registry's _prune() compaction,
+    which shifts indices — an index-based mark would then release
+    nothing (the exact unbounded-cache leak the scope guards)."""
+    from s1tiling_spark.operators import cache
+
+    monkeypatch.setattr(cache, "_PRUNE_AT", 2)
+    cache.release_cached()
+    a = cache.persist_tracked(spark.range(5))
+    b = cache.persist_tracked(spark.range(6))
+    b.unpersist()  # stale registry entry — _prune() will drop it
+    with cache.scoped_persists():
+        inner = cache.persist_tracked(spark.range(7))  # triggers _prune
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scope released it
+    assert a.storageLevel.useMemory  # outer persist untouched
+    cache.release_cached()

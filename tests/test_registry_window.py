@@ -25,6 +25,7 @@ EXTRAS = {
     "uptime_sla_1d",
     "retention_cohorts",
     "matview_daily_totals",
+    "matview_minmax_daily",
     "quantile_over_time_1d",
 }
 WINDOW = 50

@@ -197,3 +197,134 @@ def test_maybe_compact_triggers_on_version_ratio(spark, seq, tmp_path):
     )
     r4 = store.maybe_compact("1d", max_version_ratio=1.9)
     assert r4["version_ratio"] is not None
+
+
+# ---------- rename / drop (metadata schema evolution) ----------
+
+_EVO_SCHEMA = "bucket_start timestamp, source string, v long"
+
+
+def _evo_rows(spark, ts, src, val, col="v"):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(datetime.fromisoformat(ts), src, val)],
+        _EVO_SCHEMA.replace(" v ", f" {col} "),
+    )
+
+
+def test_rename_column_resolves_both_spellings(spark, tmp_path):
+    """Metadata rename: current reads serve the new name coalescing
+    files written under either spelling; as-of reads BELOW the rename
+    still serve the old name; the rename survives a pure file
+    compaction AND a full compaction (VERDICT r4 ask #8)."""
+    store = TierStore(spark, str(tmp_path / "ren"))
+    s1 = store.next_commit_seq()
+    store.append("t", _evo_rows(spark, "2024-01-01 10:00:00", "a", 1), s1, "b1")
+    rn_seq = store.rename_column("t", "v", "val")
+    assert rn_seq > s1
+    s3 = store.next_commit_seq()
+    store.append(
+        "t", _evo_rows(spark, "2024-01-02 10:00:00", "b", 2, col="val"), s3, "b2"
+    )
+
+    cur = store.read("t")
+    assert "val" in cur.columns and "v" not in cur.columns
+    assert {(r["source"], r["val"]) for r in cur.collect()} == {("a", 1), ("b", 2)}
+
+    old = store.read("t", as_of_seq=s1)
+    assert "v" in old.columns and "val" not in old.columns
+    assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 1)]
+
+    # pure file compaction (full history kept): both horizons intact
+    store.compact("t", expire_below=0)
+    cur = store.read("t")
+    assert {(r["source"], r["val"]) for r in cur.collect()} == {("a", 1), ("b", 2)}
+    old = store.read("t", as_of_seq=s1)
+    assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 1)]
+
+    # full compaction bakes the canonical name into every file; the
+    # old-name as-of read still resolves as long as its snapshot
+    # survives the horizon
+    store.compact("t")
+    cur = store.read("t")
+    assert {(r["source"], r["val"]) for r in cur.collect()} == {("a", 1), ("b", 2)}
+    if store.min_as_of("t") <= s1:
+        old = store.read("t", as_of_seq=s1)
+        assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 1)]
+
+
+def test_drop_column_hides_then_compaction_applies(spark, tmp_path):
+    """Metadata drop: hidden from current reads immediately, visible to
+    as-of reads below the drop; a history-preserving compaction keeps
+    the column physically (its snapshots still show it), a full
+    compaction removes it and extends the horizon so no read can
+    resurrect it silently."""
+    import pyarrow.parquet as _pq
+
+    store = TierStore(spark, str(tmp_path / "drop"))
+    df = spark.createDataFrame(
+        [(__import__("datetime").datetime(2024, 1, 1, 10), "a", 1, 99)],
+        "bucket_start timestamp, source string, v long, extra long",
+    )
+    s1 = store.next_commit_seq()
+    store.append("t", df, s1, "b1")
+    d_seq = store.drop_column("t", "extra")
+
+    cur = store.read("t")
+    assert "extra" not in cur.columns and cur.count() == 1
+    old = store.read("t", as_of_seq=s1)
+    assert old.select("extra").collect()[0][0] == 99
+
+    # history-preserving compaction keeps the column in the files
+    store.compact("t", expire_below=0)
+    assert store.read("t", as_of_seq=s1).select("extra").collect()[0][0] == 99
+    assert "extra" not in store.read("t").columns
+
+    # full compaction: physically gone, horizon covers the drop
+    store.compact("t")
+    tier_dir = store.tier_path("t")
+    for part in os.listdir(tier_dir):
+        if part.startswith("p_date="):
+            for fn in os.listdir(os.path.join(tier_dir, part)):
+                if fn.endswith(".parquet"):
+                    names = _pq.read_schema(os.path.join(tier_dir, part, fn)).names
+                    assert "extra" not in names
+    assert store.min_as_of("t") >= d_seq
+    with pytest.raises(ValueError, match="predates"):
+        store.read("t", as_of_seq=s1)
+
+
+def test_schema_op_validation(spark, tmp_path):
+    from datetime import datetime as _dt
+
+    store = TierStore(spark, str(tmp_path / "val"))
+    df = spark.createDataFrame(
+        [(_dt(2024, 1, 1, 10), "a", 1, 2)],
+        "bucket_start timestamp, source string, v long, w long",
+    )
+    store.append("t", df, store.next_commit_seq(), "b1")
+    with pytest.raises(ValueError, match="structural"):
+        store.rename_column("t", "source", "src")
+    with pytest.raises(ValueError, match="structural"):
+        store.drop_column("t", "bucket_start")
+    with pytest.raises(ValueError, match="no column"):
+        store.rename_column("t", "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_column("t", "v", "w")
+
+
+def test_rename_then_changes_serves_canonical_schema(spark, tmp_path):
+    """A changelog range crossing a rename must not misalign columns:
+    both as-of states are read under canonical (current) names."""
+    store = TierStore(spark, str(tmp_path / "chren"))
+    s1 = store.next_commit_seq()
+    store.append("t", _evo_rows(spark, "2024-01-01 10:00:00", "a", 1), s1, "b1")
+    store.rename_column("t", "v", "val")
+    s3 = store.next_commit_seq()
+    store.append(
+        "t", _evo_rows(spark, "2024-01-01 10:00:00", "a", 5, col="val"), s3, "b2"
+    )
+    ch = store.changes("t", from_seq=s1, to_seq=s3)
+    rows = [(r["op"], r["val"]) for r in ch.collect()]
+    assert rows == [("update", 5)]
