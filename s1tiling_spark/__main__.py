@@ -142,6 +142,20 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--seq", type=int, default=None, help="default: current")
     tg.add_argument("--replace", action="store_true")
 
+    wap = sub.add_parser(
+        "wap",
+        help="write-audit-publish staged commits: stage | audit | "
+        "publish | abandon (Iceberg branch + cherry-pick analog)",
+    )
+    wap.add_argument("action", choices=("stage", "audit", "publish", "abandon"))
+    wap.add_argument("--store", required=True)
+    wap.add_argument("--tier", required=True)
+    wap.add_argument("--audit-id", required=True)
+    wap.add_argument("--input", help="candidate parquet dir (stage)")
+    wap.add_argument(
+        "--show", type=int, default=20, help="rows to print (audit)"
+    )
+
     vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
     vidx.add_argument("action", choices=("build", "append", "status", "compact"))
     vidx.add_argument("--index", required=True, help="index base dir")
@@ -267,6 +281,30 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 store.drop_tag(args.name)
                 print(json.dumps({"dropped": args.name}))
+        elif args.cmd == "wap":
+            from s1tiling_spark.plans.store import TierStore, new_run_id
+
+            store = TierStore(spark, args.store)
+            if args.action == "stage":
+                if not args.input:
+                    raise SystemExit("wap stage requires --input")
+                seq = store.stage(
+                    args.tier,
+                    spark.read.parquet(args.input),
+                    new_run_id(),
+                    args.audit_id,
+                )
+                print(json.dumps({"audit_id": args.audit_id, "staged_seq": seq}))
+            elif args.action == "audit":
+                df = store.audit_read(args.tier, args.audit_id)
+                for row in df.limit(args.show).collect():
+                    print(json.dumps(row.asDict(), default=str))
+            elif args.action == "publish":
+                pub = store.publish(args.tier, args.audit_id)
+                print(json.dumps({"audit_id": args.audit_id, "published_seq": pub}))
+            else:
+                store.abandon(args.tier, args.audit_id)
+                print(json.dumps({"audit_id": args.audit_id, "abandoned": True}))
         elif args.cmd == "index":
             from s1tiling_spark.plans.vector_index import VectorIndex
 

@@ -222,3 +222,72 @@ def matview_minmax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+_WAP_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE}, "
+    f"r AS (SELECT {bucket_sql('event_ts', '1h')} AS bucket_start, source, "
+    "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+    "FROM sequences GROUP BY 1, 2) "
+    "SELECT bucket_start, source, "
+    "CAST(CASE WHEN hour(bucket_start) % 2 = 0 THEN cnt + 100 "
+    "WHEN hour(bucket_start) % 3 = 0 THEN cnt + 5 "
+    "ELSE cnt END AS BIGINT) AS cnt, sum_n_tok FROM r"
+)
+
+
+@register("wap_publish_lifecycle", oracle=_WAP_ORACLE)
+def wap_publish_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — write-audit-publish end-to-end against a
+    DuckDB oracle of the post-publish state. The lifecycle stresses
+    every WAP ordering rule at once:
+
+    1. base append (all 1h rollup keys);
+    2. a GOOD candidate staged (even hours, cnt+100) — invisible;
+    3. a BAD candidate staged (src_hot, cnt+999) — invisible;
+    4. main advances DURING the audit (hours divisible by 3, cnt+5);
+    5. the bad candidate is abandoned — must never surface;
+    6. the good candidate publishes — its re-minted seq must win
+       newest-wins over the mid-audit commit on overlapping keys.
+
+    Expected final value per key: even hour → cnt+100 (publish wins,
+    cherry-pick ordering); else hour%3==0 → cnt+5; else base. Any
+    staged-leak (a +999 row), stale ordering (a +5 where +100 must
+    win) or remap slip breaks the value hash.
+
+    Reference analog: the reference validates products before moving
+    them into the output tree (tmp→rename commit,
+    `/root/reference/s1tiling/libs/steps.py:123-145`) — WAP is that
+    audit gate at table-commit granularity."""
+    seq = sequences_from_documents(spark, sf_dir)
+    base_dir = tempfile.mkdtemp(prefix="s1ts_wap_gate_")
+    store = TierStore(spark, base_dir)
+    full = (
+        rollup_sequences(seq, "1h")
+        .select("bucket_start", "source", "cnt", "sum_n_tok")
+        .persist()
+    )
+    store.append("1h", full, store.next_commit_seq(), "base")
+    good = full.filter(F.hour("bucket_start") % 2 == 0).withColumn(
+        "cnt", F.col("cnt") + F.lit(100)
+    )
+    store.stage("1h", good, "cand-good", "audit-good")
+    bad = full.filter(F.col("source") == "src_hot").withColumn(
+        "cnt", F.col("cnt") + F.lit(999)
+    )
+    store.stage("1h", bad, "cand-bad", "audit-bad")
+    mid = full.filter(F.hour("bucket_start") % 3 == 0).withColumn(
+        "cnt", F.col("cnt") + F.lit(5)
+    )
+    store.append("1h", mid, store.next_commit_seq(), "mid-audit")
+    store.abandon("1h", "audit-bad")
+    store.publish("1h", "audit-good")
+    view = store.read("1h", keys=("bucket_start", "source"))
+    out = (
+        view.select("bucket_start", "source", "cnt", "sum_n_tok")
+        # per-call scratch store: pin rows off its files before rmtree
+        .localCheckpoint(eager=True)
+    )
+    full.unpersist()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out

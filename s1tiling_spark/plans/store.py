@@ -26,8 +26,10 @@ tile/date directory scheme — so bucket-range reads prune partitions.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -41,6 +43,22 @@ METRICS_DIR = "_metrics"
 # crashed-append staging dirs younger than this are presumed to be a
 # live concurrent writer's and are left alone by the repair GC
 STAGING_GC_AGE_S = 6 * 3600.0
+
+# metadata mutex held longer than this is a crashed holder (the
+# critical sections are single-JSON read-modify-writes, milliseconds)
+META_MUTEX_STALE_S = 300.0
+
+# after acquiring the maintenance lock, a multi_writer compact waits
+# this long for append move-phases that passed their lock check just
+# before the acquisition to drain (a move phase is a handful of
+# renames — milliseconds; the grace is three orders of magnitude over)
+MAINT_GRACE_S = 2.0
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A maintenance rewrite raced a live writer's in-flight commit —
+    the file-store analog of an Iceberg commit failing optimistic
+    validation. Retry after the concurrent commit lands."""
 
 # the stat tiers' natural key — the single source for read()'s dedup,
 # compact()'s rewrite, maybe_compact()'s probe and the CLI default
@@ -69,10 +87,137 @@ def atomic_json_write(path: str, obj) -> None:
 class TierStore:
     """Directory-backed tier-table store with MERGE-on-read semantics."""
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(
+        self, spark: SparkSession, base_dir: str, multi_writer: bool = False
+    ):
+        """``multi_writer``: set when more than one PROCESS writes this
+        store concurrently (e.g. a streaming sink plus a maintenance
+        daemon). Adds the maintenance-grace wait to compaction
+        (:data:`MAINT_GRACE_S`); the seq CAS, the meta mutex, the
+        maintenance lock and append's wait-on-maintenance are always
+        on — only the grace sleep is gated, so the single-process test
+        path stays fast."""
         self.spark = spark
         self.base_dir = base_dir
+        self.multi_writer = bool(multi_writer)
         os.makedirs(base_dir, exist_ok=True)
+
+    # ---------- cross-process locks ----------
+    # POSIX O_CREAT|O_EXCL is the one atomic read-modify-write a bare
+    # filesystem gives us (same primitive as the seq CAS). Two locks:
+    #  - the META MUTEX serializes every read-modify-write of the small
+    #    JSON metadata files (compact meta, refs, rollbacks) — held for
+    #    milliseconds, waited on;
+    #  - the per-tier MAINTENANCE LOCK covers destructive directory
+    #    surgery (compact's partition swap, expire's partition drop).
+    #    Appends/deletes WAIT on it before their publish renames;
+    #    competing maintenance does not queue — it raises
+    #    ConcurrentCommitError and retries its next cycle.
+    # Stale-break: a lock older than its threshold belongs to a crashed
+    # holder and is removed. The stat-then-unlink has a theoretical
+    # double-break race (two waiters both unlink); its consequence is
+    # falling back to the pre-lock behavior for one critical section,
+    # and the thresholds (minutes/hours) make the window unreachable
+    # in practice. A real deployment upgrades this to an Iceberg
+    # catalog's CAS; every call site is already shaped for that swap.
+
+    @contextlib.contextmanager
+    def _meta_mutex(self, timeout_s: float = 60.0):
+        path = os.path.join(self.base_dir, "_meta_mutex")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > META_MUTEX_STALE_S:
+                    with contextlib.suppress(OSError):
+                        os.unlink(path)
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"metadata mutex {path} held for {age:.0f}s"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+
+    def _update_meta(self, fn) -> None:
+        """Serialized read-modify-write of the compact-meta file —
+        every mutation of ``_compact_meta.json`` goes through here so
+        two writers can never silently drop each other's update."""
+        with self._meta_mutex():
+            meta = self._read_compact_meta()
+            fn(meta)
+            self._write_compact_meta(meta)
+
+    def _maint_lock_path(self, tier: str) -> str:
+        return os.path.join(self.base_dir, f"_maint_lock_{tier}")
+
+    @contextlib.contextmanager
+    def _maint_lock(self, tier: str):
+        path = self._maint_lock_path(tier)
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age > STAGING_GC_AGE_S:
+                    with contextlib.suppress(OSError):
+                        os.unlink(path)
+                    continue
+                raise ConcurrentCommitError(
+                    f"tier {tier!r}: maintenance already running "
+                    f"(lock age {age:.0f}s) — retry next cycle"
+                )
+        try:
+            if self.multi_writer:
+                # drain append move-phases that passed their check
+                # just before we acquired
+                time.sleep(MAINT_GRACE_S)
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+
+    def _wait_maintenance_clear(
+        self, tier: str, timeout_s: float = 900.0
+    ) -> None:
+        """Block an append/delete publish while tier maintenance holds
+        the lock (one stat when free — the common case). Raises after
+        ``timeout_s``: at that point the compaction is long enough that
+        the deployment should be on a real catalog's snapshot
+        isolation, and failing the producer's batch (its replay
+        protocol handles it) beats publishing into a directory swap."""
+        path = self._maint_lock_path(tier)
+        deadline = time.time() + timeout_s
+        while os.path.exists(path):
+            try:
+                if time.time() - os.path.getmtime(path) > STAGING_GC_AGE_S:
+                    return  # stale holder; maintenance will break it
+            except OSError:
+                return  # released between exists and stat
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"tier {tier!r}: maintenance lock held past "
+                    f"{timeout_s:.0f}s; append publish aborted"
+                )
+            time.sleep(0.1)
 
     # ---------- paths ----------
     def tier_path(self, tier: str) -> str:
@@ -206,6 +351,176 @@ class TierStore:
                     continue
         return candidate
 
+    # ---------- write-audit-publish (staged commits) ----------
+    def _staged_entries(self, tier: str) -> list[dict]:
+        """Staged-commit records for ``tier`` (the Iceberg WAP /
+        branch + cherry-pick analog). Each entry: ``audit_id``, the
+        staged ``seq``, ``state`` in {staging, staged, published,
+        abandoned}, ``pub_seq`` once published, ``ts`` at creation."""
+        return list(self._read_compact_meta().get(f"_staged_{tier}", []))
+
+    def stage(
+        self,
+        tier: str,
+        df: DataFrame,
+        run_id: str,
+        audit_id: str,
+        files_per_date: int = 1,
+    ) -> int:
+        """Write-audit-publish, phase 1: append ``df`` INVISIBLY. The
+        staged record is committed to metadata BEFORE any data file
+        moves (entry-first), so no read — current, as-of, summed,
+        incremental or changelog — can ever see a staged row, even
+        mid-crash. Audit the candidate with :meth:`audit_read`, then
+        :meth:`publish` or :meth:`abandon`.
+
+        Crash mid-stage leaves the entry in ``staging``: its rows stay
+        invisible, :meth:`publish` refuses it, and compaction GCs its
+        files once the writer is provably dead (same age discipline as
+        torn keyed appends). Returns the staged commit seq (an
+        internal handle — the PUBLISHED seq is minted at publish
+        time)."""
+        if any(e["audit_id"] == audit_id for e in self._staged_entries(tier)):
+            raise ValueError(f"tier {tier!r}: audit id {audit_id!r} already staged")
+        seq = self.next_commit_seq()
+        entry = {
+            "audit_id": audit_id,
+            "seq": seq,
+            "state": "staging",
+            "ts": time.time(),
+        }
+        self._update_meta(
+            lambda m, t=tier, e=entry: m.setdefault(f"_staged_{t}", []).append(e)
+        )
+        self.append(tier, df, seq, run_id, files_per_date=files_per_date)
+        self._set_staged_state(tier, audit_id, "staged")
+        return seq
+
+    def _set_staged_state(
+        self, tier: str, audit_id: str, state: str, pub_seq: int | None = None
+    ) -> None:
+        def _flip(m, t=tier, a=audit_id, s=state, p=pub_seq):
+            for e in m.get(f"_staged_{t}", []):
+                if e["audit_id"] == a:
+                    e["state"] = s
+                    if p is not None:
+                        e["pub_seq"] = p
+                    return
+            raise KeyError(f"tier {t!r}: no staged commit {a!r}")
+
+        self._update_meta(_flip)
+
+    def audit_read(
+        self, tier: str, audit_id: str, **read_kwargs
+    ) -> DataFrame | None:
+        """The would-be post-publish state: a normal :meth:`read` that
+        ALSO sees ``audit_id``'s staged rows (validation queries run
+        against exactly what publishing would serve). Other staged
+        commits stay hidden."""
+        entry = next(
+            (e for e in self._staged_entries(tier) if e["audit_id"] == audit_id),
+            None,
+        )
+        if entry is None:
+            raise KeyError(f"tier {tier!r}: no staged commit {audit_id!r}")
+        if entry["state"] != "staged":
+            raise ValueError(
+                f"tier {tier!r}: staged commit {audit_id!r} is "
+                f"{entry['state']!r}, not auditable"
+            )
+        return self.read(tier, audit_seq=int(entry["seq"]), **read_kwargs)
+
+    def publish(self, tier: str, audit_id: str) -> int:
+        """Write-audit-publish, phase 3: make the audited rows live by
+        minting a FRESH commit seq and remapping the staged rows onto
+        it (metadata-only — no data file is touched; the next compact
+        bakes the remap physically). Re-minting is what Iceberg's
+        cherry-pick does and what keeps every consumer correct: main
+        may have advanced while the audit ran, and the staged rows'
+        original seq would sort them UNDER those later commits —
+        published-now must mean committed-now, for newest-wins dedup,
+        time travel and every changelog cursor alike (the publish
+        shows up as an ordinary new commit). Returns the published
+        seq."""
+        with self._meta_mutex():
+            meta = self._read_compact_meta()
+            entry = next(
+                (
+                    e
+                    for e in meta.get(f"_staged_{tier}", [])
+                    if e["audit_id"] == audit_id
+                ),
+                None,
+            )
+            if entry is None:
+                raise KeyError(f"tier {tier!r}: no staged commit {audit_id!r}")
+            if entry["state"] != "staged":
+                raise ValueError(
+                    f"tier {tier!r}: staged commit {audit_id!r} is "
+                    f"{entry['state']!r}; only 'staged' can publish"
+                )
+            pub = self.next_commit_seq()
+            entry["state"] = "published"
+            entry["pub_seq"] = pub
+            self._write_compact_meta(meta)
+            return pub
+
+    def abandon(self, tier: str, audit_id: str) -> None:
+        """Write-audit-publish, failed audit: void the staged commit.
+        Its rows were never visible and never become visible; the next
+        compaction drops them physically and clears the record."""
+        with self._meta_mutex():
+            meta = self._read_compact_meta()
+            entry = next(
+                (
+                    e
+                    for e in meta.get(f"_staged_{tier}", [])
+                    if e["audit_id"] == audit_id
+                ),
+                None,
+            )
+            if entry is None:
+                raise KeyError(f"tier {tier!r}: no staged commit {audit_id!r}")
+            if entry["state"] == "published":
+                raise ValueError(
+                    f"tier {tier!r}: {audit_id!r} is already published — "
+                    "use rollback to void a published commit"
+                )
+            entry["state"] = "abandoned"
+            self._write_compact_meta(meta)
+
+    def _apply_staged(
+        self, df: DataFrame, tier: str, audit_seq: int | None
+    ) -> DataFrame:
+        """Reader-side WAP semantics: published staged seqs are
+        REMAPPED to their publish seq (before any as-of filter or
+        dedup window, so the published rows order exactly like a fresh
+        commit), every other staged seq is hidden — except
+        ``audit_seq``, which an :meth:`audit_read` exposes. Plain
+        column algebra on commit_seq; Catalyst folds the remap into
+        the scan projection."""
+        staged = self._staged_entries(tier)
+        if not staged:
+            return df
+        mapping = {
+            int(e["seq"]): int(e["pub_seq"])
+            for e in staged
+            if e["state"] == "published"
+        }
+        hide = [
+            int(e["seq"])
+            for e in staged
+            if e["state"] != "published" and int(e["seq"]) != (audit_seq or -1)
+        ]
+        if mapping:
+            expr = F.col("commit_seq")
+            for old, new in sorted(mapping.items()):
+                expr = F.when(F.col("commit_seq") == old, F.lit(new)).otherwise(expr)
+            df = df.withColumn("commit_seq", expr)
+        if hide:
+            df = df.filter(~F.col("commit_seq").isin(hide))
+        return df
+
     # ---------- refs (tags) ----------
     def _refs_path(self) -> str:
         return os.path.join(self.base_dir, "_refs.json")
@@ -225,28 +540,30 @@ class TierStore:
         Tags are immutable unless ``replace`` — silently moving a tag
         a reader has already resolved would change what "v2024.1"
         means under them."""
-        refs = self.tags()
-        if name in refs and not replace:
-            raise ValueError(
-                f"tag {name!r} already points at seq {refs[name]}; "
-                "pass replace=True to move it"
-            )
-        seq = int(seq) if seq is not None else self.last_commit_seq()
-        if seq > self.last_commit_seq():
-            raise ValueError(
-                f"tag {name!r}: seq {seq} has not been committed yet "
-                f"(last is {self.last_commit_seq()})"
-            )
-        if seq < 0:
-            raise ValueError(f"tag {name!r}: seq {seq} is not a commit_seq")
-        refs[name] = seq
-        atomic_json_write(self._refs_path(), refs)
-        return seq
+        with self._meta_mutex():
+            refs = self.tags()
+            if name in refs and not replace:
+                raise ValueError(
+                    f"tag {name!r} already points at seq {refs[name]}; "
+                    "pass replace=True to move it"
+                )
+            seq = int(seq) if seq is not None else self.last_commit_seq()
+            if seq > self.last_commit_seq():
+                raise ValueError(
+                    f"tag {name!r}: seq {seq} has not been committed yet "
+                    f"(last is {self.last_commit_seq()})"
+                )
+            if seq < 0:
+                raise ValueError(f"tag {name!r}: seq {seq} is not a commit_seq")
+            refs[name] = seq
+            atomic_json_write(self._refs_path(), refs)
+            return seq
 
     def drop_tag(self, name: str) -> None:
-        refs = self.tags()
-        refs.pop(name, None)
-        atomic_json_write(self._refs_path(), refs)
+        with self._meta_mutex():
+            refs = self.tags()
+            refs.pop(name, None)
+            atomic_json_write(self._refs_path(), refs)
 
     def resolve_ref(self, name: str) -> int:
         refs = self.tags()
@@ -339,23 +656,29 @@ class TierStore:
         # CAS outright; voiding it is our file-store equivalent).
         ranges.append((to_seq, rb_seq - 1))
         path = self._rollbacks_path()
-        all_ranges = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                all_ranges = json.load(f)
-        all_ranges[tier] = sorted([list(r) for r in ranges])
-        atomic_json_write(path, all_ranges)
+        with self._meta_mutex():
+            all_ranges = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    all_ranges = json.load(f)
+            # merge THIS tier's recomputed ranges without clobbering a
+            # concurrent writer's update to another tier's entry
+            all_ranges[tier] = sorted([list(r) for r in ranges])
+            atomic_json_write(path, all_ranges)
         return {"tier": tier, "excluded": (to_seq, rb_seq - 1), "rollback_seq": rb_seq}
 
     def _clear_rollbacks(self, tier: str) -> None:
         path = self._rollbacks_path()
         if not os.path.exists(path):
             return
-        with open(path) as f:
-            all_ranges = json.load(f)
-        if tier in all_ranges:
-            del all_ranges[tier]
-            atomic_json_write(path, all_ranges)
+        with self._meta_mutex():
+            if not os.path.exists(path):
+                return
+            with open(path) as f:
+                all_ranges = json.load(f)
+            if tier in all_ranges:
+                del all_ranges[tier]
+                atomic_json_write(path, all_ranges)
 
     # ---------- schema evolution (rename / drop) ----------
     # The tier's natural-key and lineage columns are structural: renames
@@ -376,9 +699,9 @@ class TierStore:
         return sorted(ops, key=lambda o: o["seq"])
 
     def _record_schema_op(self, tier: str, op: dict) -> None:
-        meta = self._read_compact_meta()
-        meta.setdefault(f"_schema_{tier}", []).append(op)
-        self._write_compact_meta(meta)
+        self._update_meta(
+            lambda m, t=tier, o=op: m.setdefault(f"_schema_{t}", []).append(o)
+        )
 
     def _current_columns(self, tier: str) -> list[str]:
         """Current canonical column names (union of footers + live ops
@@ -514,6 +837,10 @@ class TierStore:
         if rows == 0:
             shutil.rmtree(tmp)
             return 0
+        # same publish discipline as append: a delete file landing
+        # mid-compaction would be GC'd as "applied" without ever being
+        # applied — wait out the maintenance window
+        self._wait_maintenance_clear(tier)
         dest = self._deletes_path(tier)
         os.makedirs(dest, exist_ok=True)
         for fn in os.listdir(tmp):
@@ -702,7 +1029,9 @@ class TierStore:
                 marker,
                 {"state": "pending", "commit_seq": commit_seq, "run_id": run_id},
             )
-        # move finished partition files into the live table dir
+        # move finished partition files into the live table dir —
+        # never while maintenance is mid-directory-swap on this tier
+        self._wait_maintenance_clear(tier)
         dest = self.tier_path(tier)
         os.makedirs(dest, exist_ok=True)
         for part in os.listdir(tmp):
@@ -743,6 +1072,124 @@ class TierStore:
                 if fn.startswith(prefix) and fn.endswith(".parquet"):
                     os.remove(os.path.join(dpart, fn))
 
+    def _pending_keyed_commits(self, tier: str) -> list[tuple[int, float]]:
+        """(commit_seq, marker age in seconds) of every keyed append
+        whose two-phase marker is still ``pending`` — either a LIVE
+        producer mid-move or a torn commit whose producer died before
+        the committed flip. Metadata-only (one small JSON per key)."""
+        kdir = os.path.join(self.base_dir, "_committed_runs", tier)
+        if not os.path.isdir(kdir):
+            return []
+        out = []
+        now = time.time()
+        for fn in os.listdir(kdir):
+            fp = os.path.join(kdir, fn)
+            try:
+                with open(fp) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if rec.get("state", "committed") != "committed":
+                out.append((int(rec["commit_seq"]), now - os.path.getmtime(fp)))
+        return out
+
+    # data-file names carry the max commit_seq they contain:
+    # ``c<seq>-`` (append — single-commit files) or ``m<seq>-``
+    # (compact output — folded files, footer-derived max). The two
+    # prefixes are deliberately distinct: torn-keyed-append repair
+    # removes by ``c<seq>-`` and must never match a compacted file
+    # that merely CONTAINS that seq among others.
+    _FILE_SEQ_RE = re.compile(r"^[cm](\d+)-")
+
+    def _plan_files_above_seq(
+        self, tier: str, min_seq: int
+    ) -> list[str] | None:
+        """Driver-side incremental file planning (the Iceberg
+        incremental-manifest analog): the list of live data files that
+        MAY contain rows with ``commit_seq > min_seq``, decided from
+        file NAMES alone — append files are ``c<seq>-`` (exact),
+        compact outputs ``m<maxseq>-`` (exact footer max), anything
+        unprefixed (legacy) is conservatively included. Returns None
+        when nothing would be skipped — the caller then keeps the
+        plain directory scan (identical plan, no file list to ship).
+
+        This is what keeps ``read_incremental``/``changes`` O(new
+        files) in *metadata*: without it every incremental batch lists
+        and opens the full table's footers just to let row-group stats
+        discard compacted history — at 10^12 rows that listing is the
+        storm Iceberg's manifests exist to avoid."""
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return None
+        # a published-but-not-yet-baked WAP commit lives in files whose
+        # NAME carries its old staged seq while its EFFECTIVE seq is
+        # the publish seq — any file that may contain such a row must
+        # survive the skip (a c-file iff its seq IS a risky old seq; an
+        # m-file iff its max covers one). Conservative by construction;
+        # the next compact bakes the remap and retires the exception.
+        risky = {
+            int(e["seq"])
+            for e in self._staged_entries(tier)
+            if e["state"] == "published" and int(e["pub_seq"]) > int(min_seq)
+        }
+        min_risky = min(risky) if risky else None
+        keep: list[str] = []
+        skipped = 0
+        for part in os.listdir(path):
+            dpart = os.path.join(path, part)
+            if not (part.startswith("p_date=") and os.path.isdir(dpart)):
+                continue
+            for fn in os.listdir(dpart):
+                if not fn.endswith(".parquet"):
+                    continue
+                m = self._FILE_SEQ_RE.match(fn)
+                if m is not None and int(m.group(1)) <= int(min_seq):
+                    n = int(m.group(1))
+                    may_hold_risky = (
+                        n in risky
+                        if fn.startswith("c")
+                        else (min_risky is not None and n >= min_risky)
+                    )
+                    if not may_hold_risky:
+                        skipped += 1
+                        continue
+                keep.append(os.path.join(dpart, fn))
+        if skipped == 0 or not keep:
+            return None
+        return keep
+
+    def _prefix_compact_files(self, tmp: str) -> None:
+        """Name each compact output file ``m<maxseq>-...`` where maxseq
+        is its exact footer max ``commit_seq`` (pyarrow, driver-side —
+        one footer per output file, i.e. one per partition; on a real
+        catalog this rides the manifest commit). These names are what
+        lets :meth:`_plan_files_above_seq` skip compacted history at
+        PLANNING time forever after."""
+        import pyarrow.parquet as pq
+
+        for part in os.listdir(tmp):
+            dpart = os.path.join(tmp, part)
+            if not (part.startswith("p_date=") and os.path.isdir(dpart)):
+                continue
+            for fn in list(os.listdir(dpart)):
+                if not fn.endswith(".parquet") or self._FILE_SEQ_RE.match(fn):
+                    continue
+                md = pq.read_metadata(os.path.join(dpart, fn))
+                try:
+                    idx = md.schema.names.index("commit_seq")
+                except ValueError:
+                    continue
+                stats = [
+                    md.row_group(g).column(idx).statistics
+                    for g in range(md.num_row_groups)
+                ]
+                if not stats or any(s is None for s in stats):
+                    continue
+                hi = max(int(s.max) for s in stats)
+                os.rename(
+                    os.path.join(dpart, fn), os.path.join(dpart, f"m{hi}-{fn}")
+                )
+
     def read(
         self,
         tier: str,
@@ -753,6 +1200,9 @@ class TierStore:
         ref: str | None = None,
         p_dates: list | None = None,
         canonical_names: bool = False,
+        min_seq_hint: int | None = None,
+        audit_seq: int | None = None,
+        _staged_raw: bool = False,
         _drop_horizon: int | None = None,
         _retention_ok: bool = False,
     ) -> DataFrame | None:
@@ -798,6 +1248,13 @@ class TierStore:
         dates can matter (``changes(prune_partitions=True)`` derives
         them from the touched keys). The filter sits directly on the
         partition column, so unlisted dates are never opened.
+
+        ``min_seq_hint``: incremental file skipping
+        (:meth:`_plan_files_above_seq`). A pure OPTIMIZATION hint —
+        the caller promises it will anyway discard rows with
+        ``commit_seq <= min_seq_hint``, so the scan may plan only the
+        files whose name-encoded max seq exceeds the hint. The hint
+        never changes results; it changes which files the plan lists.
         """
         if ref is not None:
             if as_of_seq is not None:
@@ -819,7 +1276,14 @@ class TierStore:
             # live renames mean files disagree on column names — the
             # scan must union footers to expose both spellings
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(path)
+        planned = (
+            self._plan_files_above_seq(tier, min_seq_hint)
+            if min_seq_hint is not None
+            else None
+        )
+        # basePath keeps p_date partition parsing identical for the
+        # explicit file list; None → nothing skippable, plain dir scan
+        df = reader.parquet(*planned) if planned is not None else reader.parquet(path)
         if schema_ops:
             df = self._apply_schema_ops(
                 df,
@@ -828,6 +1292,12 @@ class TierStore:
                 canonical=canonical_names,
                 drop_horizon=_drop_horizon,
             )
+        if not _staged_raw:
+            # WAP: BEFORE the as-of filter and the dedup window — a
+            # published commit must order as the fresh commit it is
+            # (_staged_raw: compact reads the physical truth and
+            # handles staged rows itself)
+            df = self._apply_staged(df, tier, audit_seq)
         if p_dates is not None:
             df = df.filter(F.col("p_date").isin([str(d) for d in p_dates]))
         if as_of_seq is not None:
@@ -1040,7 +1510,12 @@ class TierStore:
                 f"compaction horizon min_as_of={horizon}; superseded versions "
                 "in that range were expired (net changes would be wrong)"
             )
-        df = self.read(tier, deduped=False)
+        # min_seq_hint: only files that can hold in-range rows are
+        # planned — files whose every version predates from_seq cannot
+        # contribute a ranked winner here (the range filter drops them
+        # first), so skipping them is exact, and the incremental scan
+        # costs O(new files) in listing/footers, not O(table)
+        df = self.read(tier, deduped=False, min_seq_hint=from_seq)
         if df is None:
             return None
         df = df.filter(
@@ -1120,7 +1595,15 @@ class TierStore:
         if raw is None:
             return None
         in_range = (F.col("commit_seq") > from_seq) & (F.col("commit_seq") <= to_eff)
-        touched = raw.filter(in_range).select(*keys)
+        # the touched scan reads only files that can hold in-range
+        # versions (name-encoded max seq > from — the manifest analog);
+        # `raw` stays the FULL table: delete-file expansion and
+        # rollback-crossing sweeps below legitimately reach versions
+        # older than from_seq
+        inc = self.read(
+            tier, deduped=False, canonical_names=True, min_seq_hint=from_seq
+        )
+        touched = inc.filter(in_range).select(*keys)
         # delete-group masks at the POST horizon (to_eff), so a delete
         # voided by a rollback older than to_eff is correctly ignored
         # while one the rollback does not reach still touches its keys
@@ -1416,12 +1899,88 @@ class TierStore:
 
         Returns {files_before, files_after, rows}.
         """
-        from pyspark.sql import Observation
-
         path = self.tier_path(tier)
         if not os.path.isdir(path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
+        # destructive directory surgery happens only under the tier's
+        # maintenance lock: appends/deletes WAIT on it at publish time,
+        # competing maintenance raises (ConcurrentCommitError) instead
+        # of queueing
+        with self._maint_lock(tier):
+            return self._compact_locked(
+                tier, keys, expire_below, cluster_by, mode, sum_cols
+            )
+
+    def _compact_locked(
+        self,
+        tier: str,
+        keys: tuple[str, ...],
+        expire_below: int | None,
+        cluster_by: tuple[str, ...] | None,
+        mode: str,
+        sum_cols: tuple[str, ...],
+    ) -> dict:
+        from pyspark.sql import Observation
+
+        path = self.tier_path(tier)
         self._repair_crashed_compact(tier)
+        # Keyed commits still in state `pending` must NOT be folded
+        # into the rewrite: folding strips their `c<seq>-` file names,
+        # so the producer's replay repair would find nothing to remove
+        # and re-append — double-counting an additive tier (the exact
+        # window the two-phase marker closes). Age splits the cases:
+        #  - old (producer provably dead): a torn commit — repair it
+        #    here exactly as the replay would (remove its files; the
+        #    still-pending marker makes the eventual replay re-append);
+        #  - young: a LIVE producer may be mid-move — BACK OFF. Any
+        #    carry-the-files-across-the-swap scheme has a crash window
+        #    that destroys a committed append (the aside dir holding
+        #    the carried files is exactly what crash repair deletes),
+        #    so the rewrite refuses instead, like an Iceberg rewrite
+        #    failing validation against a concurrent commit: the
+        #    producer's flip is seconds away and the maintenance
+        #    daemon simply retries its next cycle.
+        for p_seq, p_age in self._pending_keyed_commits(tier):
+            if p_age > STAGING_GC_AGE_S:
+                self._remove_commit_files(tier, p_seq)
+            else:
+                raise ConcurrentCommitError(
+                    f"tier {tier!r}: keyed commit seq {p_seq} is pending "
+                    f"(marker age {p_age:.0f}s) — a live producer may be "
+                    "mid-move; retry compaction after it commits"
+                )
+        # WAP staged commits, same discipline per state:
+        #  - `staging` young → a live stage() mid-move: back off;
+        #  - `staging` old → crashed stager: GC its files + record;
+        #  - `staged` (audit window, possibly days) → rows are CARRIED
+        #    through the rewrite untouched and stay invisible — an
+        #    audit must never block maintenance;
+        #  - `published` → the seq remap is BAKED into the rewrite;
+        #  - `abandoned` → rows dropped physically.
+        carry_seqs: set[int] = set()
+        bake_remap: dict[int, int] = {}
+        drop_seqs: set[int] = set()
+        gc_audits: list[str] = []
+        for e in self._staged_entries(tier):
+            st = e["state"]
+            if st == "staging":
+                age = time.time() - float(e.get("ts", 0))
+                if age > STAGING_GC_AGE_S:
+                    self._remove_commit_files(tier, int(e["seq"]))
+                    gc_audits.append(e["audit_id"])
+                else:
+                    raise ConcurrentCommitError(
+                        f"tier {tier!r}: stage {e['audit_id']!r} is mid-write "
+                        f"(age {age:.0f}s) — retry compaction after it lands"
+                    )
+            elif st == "staged":
+                carry_seqs.add(int(e["seq"]))
+            elif st == "published":
+                bake_remap[int(e["seq"])] = int(e["pub_seq"])
+                gc_audits.append(e["audit_id"])
+            elif st == "abandoned":
+                drop_seqs.add(int(e["seq"]))
+                gc_audits.append(e["audit_id"])
 
         def _count_files() -> int:
             n = 0
@@ -1450,9 +2009,26 @@ class TierStore:
             merge_schema=True,
             canonical_names=True,
             _drop_horizon=expire_below,
+            _staged_raw=True,
         )
         if raw is None:
             return {"files_before": files_before, "files_after": files_before, "rows": 0}
+        if drop_seqs:
+            # abandoned stages: never visible at any horizon → safe to
+            # drop even in history-preserving mode
+            raw = raw.filter(~F.col("commit_seq").isin(list(drop_seqs)))
+        if bake_remap:
+            expr = F.col("commit_seq")
+            for old, new in sorted(bake_remap.items()):
+                expr = F.when(F.col("commit_seq") == old, F.lit(new)).otherwise(expr)
+            raw = raw.withColumn("commit_seq", expr)
+        carry = None
+        if carry_seqs:
+            # rows awaiting audit ride the rewrite as-is (their seqs
+            # keep them invisible via the staged filter) — they join
+            # no fold, no dedup window, no horizon observation
+            carry = raw.filter(F.col("commit_seq").isin(list(carry_seqs)))
+            raw = raw.filter(~F.col("commit_seq").isin(list(carry_seqs)))
         sketch_keys = [
             c
             for c in ("bin", "qbin", "depth", "col")
@@ -1580,6 +2156,11 @@ class TierStore:
             ).drop("_nv")
         else:
             rows = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if carry is not None:
+            # awaiting-audit rows rejoin the output AFTER the fold and
+            # the observation: they are not folded, not deduped, and
+            # never move the snapshot horizon
+            rows = rows.unionByName(carry)
         rows = rows.repartition("p_date")
         if cluster_by:
             # hash repartition can co-locate several p_dates in one
@@ -1587,6 +2168,12 @@ class TierStore:
             # (one per date) is internally ordered by the cluster keys
             rows = rows.sortWithinPartitions("p_date", *cluster_by)
         rows.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
+        # name-encode each output file's exact max commit_seq (m<seq>-)
+        # so incremental readers can skip compacted history at planning
+        # time; 'm' not 'c': torn-keyed-append repair removes by
+        # c<seq>- and must never match a folded file that merely
+        # CONTAINS that seq
+        self._prefix_compact_files(tmp)
         vals = obs.get
         n_rows = int(vals["rows"])
         if new_horizon is None:
@@ -1620,9 +2207,10 @@ class TierStore:
         # swap leaves history intact but reads below the recorded
         # horizon raise (refusing a valid read beats serving a wrong
         # one; re-running compact clears the inconsistency).
-        meta = self._read_compact_meta()
-        meta[tier] = max(int(meta.get(tier, 0)), new_horizon)
-        self._write_compact_meta(meta)
+        def _record_horizon(m, t=tier, h=new_horizon):
+            m[t] = max(int(m.get(t, 0)), h)
+
+        self._update_meta(_record_horizon)
         tmp_parts = {p for p in os.listdir(tmp) if p.startswith("p_date=")}
         for part in sorted(tmp_parts):
             dpart = os.path.join(path, part)
@@ -1666,12 +2254,27 @@ class TierStore:
             # the horizon covers hi+1; re-masking after a crash here is
             # a no-op
             self._clear_rollbacks(tier)
+        if gc_audits:
+            # published remaps are baked, abandoned rows dropped,
+            # crashed stagings repaired — their records are spent.
+            # Idempotent under a crash before this point: re-applying
+            # a baked remap matches no row, re-filtering dropped rows
+            # drops nothing.
+            def _gc_staged(m, t=tier, ids=frozenset(gc_audits)):
+                m[f"_staged_{t}"] = [
+                    e
+                    for e in m.get(f"_staged_{t}", [])
+                    if e["audit_id"] not in ids
+                ]
+
+            self._update_meta(_gc_staged)
         # AFTER the swap (unlike the horizon): losing this marker to a
         # crash only costs one redundant rewrite on the next scheduled
         # maybe_compact — conservative, never wrong
-        meta = self._read_compact_meta()
-        meta[f"_last_compact_seq_{tier}"] = self.last_commit_seq()
-        self._write_compact_meta(meta)
+        last = self.last_commit_seq()
+        self._update_meta(
+            lambda m, t=tier, s=last: m.__setitem__(f"_last_compact_seq_{t}", s)
+        )
         return {
             "files_before": files_before,
             "files_after": _count_files(),
@@ -1713,6 +2316,12 @@ class TierStore:
         Returns the ``compact`` stats dict plus
         ``{"compacted": bool, "version_ratio": float | None}``.
         """
+        if os.path.exists(self._maint_lock_path(tier)):
+            # another maintenance process is live on this tier: its
+            # swap-in-progress state must not be "repaired" under it,
+            # and a second rewrite would race the first — skip a cycle
+            return {"compacted": False, "version_ratio": None,
+                    "skipped": "concurrent-maintenance"}
         self._repair_crashed_compact(tier)
         cur_seq = self.last_commit_seq()
         meta = self._read_compact_meta()
@@ -1728,7 +2337,14 @@ class TierStore:
         ratio = versions / max(int(approx_keys), 1)
         if ratio < max_version_ratio:
             return {"compacted": False, "version_ratio": round(ratio, 3)}
-        stats = self.compact(tier, keys=keys, **compact_kwargs)
+        try:
+            stats = self.compact(tier, keys=keys, **compact_kwargs)
+        except ConcurrentCommitError as e:
+            # a live producer is mid-commit (pending keyed marker) or
+            # another maintenance run won the lock — the daemon's
+            # contract is retry-next-cycle, not crash
+            return {"compacted": False, "version_ratio": round(ratio, 3),
+                    "skipped": str(e)}
         stats.update({"compacted": True, "version_ratio": round(ratio, 3)})
         return stats
 
@@ -1764,25 +2380,30 @@ class TierStore:
         path = self.tier_path(tier)
         if not os.path.isdir(path):
             return 0
-        victims = [
-            part
-            for part in os.listdir(path)
-            if part.startswith("p_date=")
-            and part.split("=", 1)[1] < str(keep_after)
-        ]
-        if not victims:
-            return 0
-        exp_seq = self.next_commit_seq()
-        meta = self._read_compact_meta()
-        prev = meta.get(f"_retention_{tier}") or {"floor": "", "seq": 0}
-        meta[f"_retention_{tier}"] = {
-            "floor": max(str(keep_after), prev["floor"]),
-            "seq": max(exp_seq, int(prev["seq"])),
-        }
-        self._write_compact_meta(meta)
-        for part in victims:
-            shutil.rmtree(os.path.join(path, part))
-        return len(victims)
+        # partition drops are directory surgery — same lock discipline
+        # as compact's swap (appends/deletes wait at publish time)
+        with self._maint_lock(tier):
+            victims = [
+                part
+                for part in os.listdir(path)
+                if part.startswith("p_date=")
+                and part.split("=", 1)[1] < str(keep_after)
+            ]
+            if not victims:
+                return 0
+            exp_seq = self.next_commit_seq()
+
+            def _record_floor(m, t=tier, ka=str(keep_after), s=exp_seq):
+                prev = m.get(f"_retention_{t}") or {"floor": "", "seq": 0}
+                m[f"_retention_{t}"] = {
+                    "floor": max(ka, prev["floor"]),
+                    "seq": max(s, int(prev["seq"])),
+                }
+
+            self._update_meta(_record_floor)
+            for part in victims:
+                shutil.rmtree(os.path.join(path, part))
+            return len(victims)
 
 
 def new_run_id() -> str:

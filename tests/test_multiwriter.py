@@ -292,3 +292,134 @@ def test_seq_gc_folds_markers_into_floor(tmp_path):
     assert store.last_commit_seq() == 2 * batch + 9
     # fresh handle (new process analog) agrees
     assert TierStore(None, str(tmp_path / "gc")).last_commit_seq() == 2 * batch + 9
+
+
+# ---------- maintenance vs writers (compact/expire locking, r5) ----------
+
+
+def test_compact_backs_off_young_pending_keyed_commit(spark, tmp_path):
+    """A keyed commit in state `pending` with a fresh marker may be a
+    LIVE producer mid-move: compact must refuse (ConcurrentCommitError)
+    rather than fold files whose `c<seq>-` names the replay repair
+    depends on — folding + replay would double-count the additive tier."""
+    import pytest
+
+    from s1tiling_spark.plans.store import ConcurrentCommitError
+
+    store = TierStore(spark, str(tmp_path / "pend"))
+    s1 = store.next_commit_seq()
+    assert store.append("c1h", _batch(spark), s1, "b0", idempotency_key="batch-0") == 1
+    marker = store._committed_key_path("c1h", "batch-0")
+    atomic_json_write(marker, {"state": "pending", "commit_seq": s1, "run_id": "b0"})
+    with pytest.raises(ConcurrentCommitError):
+        store.compact("c1h")
+    # maintenance daemon path: soft skip, not crash
+    res = store.maybe_compact("c1h", max_version_ratio=0.0)
+    assert res["compacted"] is False and "pending" in res.get("skipped", "")
+    # the replay still heals and serves exactly once
+    s2 = store.next_commit_seq()
+    assert store.append("c1h", _batch(spark), s2, "b0r", idempotency_key="batch-0") == 1
+    assert _served_total(store) == 10
+
+
+def test_compact_repairs_old_torn_keyed_commit(spark, tmp_path):
+    """A pending marker old enough that its producer is provably dead is
+    a TORN commit: compact repairs it exactly as the replay would
+    (removes its files), and the eventual replay re-appends — the batch
+    is served exactly once, never zero, never twice."""
+    store = TierStore(spark, str(tmp_path / "torn"))
+    s0 = store.next_commit_seq()
+    store.append("c1h", _batch(spark, inc=5), s0, "base")  # unkeyed baseline row
+    s1 = store.next_commit_seq()
+    assert store.append("c1h", _batch(spark), s1, "b0", idempotency_key="batch-0") == 1
+    marker = store._committed_key_path("c1h", "batch-0")
+    atomic_json_write(marker, {"state": "pending", "commit_seq": s1, "run_id": "b0"})
+    old = 8 * 3600
+    os.utime(marker, (os.path.getmtime(marker) - old, os.path.getmtime(marker) - old))
+    stats = store.compact(
+        "c1h", keys=("source", "bucket_start"), mode="sum", sum_cols=("increase",)
+    )
+    assert stats["rows"] == 1  # only the baseline row was folded
+    assert _served_total(store) == 5  # torn batch fully repaired away
+    s2 = store.next_commit_seq()
+    assert store.append("c1h", _batch(spark), s2, "b0r", idempotency_key="batch-0") == 1
+    assert _served_total(store) == 15
+
+
+def test_append_waits_for_maintenance_lock(spark, tmp_path):
+    """An append's publish blocks while the tier's maintenance lock is
+    held and proceeds as soon as it is released; a lock held past the
+    timeout raises instead of publishing into a directory swap."""
+    import threading
+    import time as _t
+
+    import pytest
+
+    store = TierStore(spark, str(tmp_path / "lockwait"))
+    lock = store._maint_lock_path("c1h")
+    open(lock, "w").close()
+    t0 = _t.monotonic()
+    threading.Timer(1.0, os.unlink, args=(lock,)).start()
+    s1 = store.next_commit_seq()
+    assert store.append("c1h", _batch(spark), s1, "b0") == 1
+    assert _t.monotonic() - t0 >= 0.9  # it actually waited for the release
+    open(lock, "w").close()
+    with pytest.raises(TimeoutError):
+        store._wait_maintenance_clear("c1h", timeout_s=0.5)
+    os.unlink(lock)
+
+
+def test_concurrent_maintenance_does_not_queue(spark, tmp_path):
+    """A second maintenance run on a locked tier raises/skips instead of
+    queueing behind (and then re-rewriting after) the first."""
+    import pytest
+
+    from s1tiling_spark.plans.store import ConcurrentCommitError
+
+    store = TierStore(spark, str(tmp_path / "mlock"))
+    s1 = store.next_commit_seq()
+    store.append("c1h", _batch(spark), s1, "b0")
+    lock = store._maint_lock_path("c1h")
+    open(lock, "w").close()
+    with pytest.raises(ConcurrentCommitError):
+        store.compact("c1h")
+    assert store.maybe_compact("c1h")["skipped"] == "concurrent-maintenance"
+    with pytest.raises(ConcurrentCommitError):
+        store.expire("c1h", keep_after="2025-01-01")
+    os.unlink(lock)
+    assert store.compact("c1h", keys=("source", "bucket_start"))["rows"] == 1
+
+
+META_RMW_JOB = textwrap.dedent(
+    """
+    import sys
+    from s1tiling_spark.plans.store import TierStore
+
+    store = TierStore(None, sys.argv[1])
+    wid, n = sys.argv[2], int(sys.argv[3])
+    for i in range(n):
+        store._update_meta(
+            lambda m, v=f"{wid}:{i}": m.setdefault("_mw_log", []).append(v)
+        )
+    print("DONE")
+    """
+)
+
+
+def test_meta_mutex_serializes_cross_process_rmw(tmp_path):
+    """4 OS processes × 40 read-modify-writes of the shared metadata
+    file: with the meta mutex every update survives (a bare
+    read-modify-write would drop most of them)."""
+    base = str(tmp_path / "meta")
+    TierStore(None, base)
+    job = tmp_path / "rmw.py"
+    job.write_text(META_RMW_JOB)
+    _run_procs([[str(job), base, str(w), "40"] for w in range(4)], timeout=240)
+    log = TierStore(None, base)._read_compact_meta()["_mw_log"]
+    assert len(log) == 160
+    expect = {f"{w}:{i}" for w in range(4) for i in range(40)}
+    assert set(log) == expect
+    # per-writer order is preserved (each process's appends are serial)
+    for w in range(4):
+        mine = [int(e.split(":")[1]) for e in log if e.startswith(f"{w}:")]
+        assert mine == sorted(mine)

@@ -26,6 +26,7 @@ EXTRAS = {
     "retention_cohorts",
     "matview_daily_totals",
     "matview_minmax_daily",
+    "wap_publish_lifecycle",
     "quantile_over_time_1d",
 }
 WINDOW = 50
