@@ -727,3 +727,64 @@ def quantile_over_time_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_over_time(
         pts, keys=("event_type",), ts_col="ts", value_col="v_cents", bucket="day"
     )
+
+
+# -- EWMA smoothing (PromQL holt_winters's single-exponential sibling) --
+_EWMA_W = 24  # trailing frame length (rows)
+
+# alpha = 1/2 makes every fold step EXACT in binary floating point:
+# cents fit ~20 mantissa bits, the frame adds at most 23 fractional
+# bits, 43 < 53 — so Spark and DuckDB produce bit-identical doubles
+# and the value hash can compare them directly (the same trick as the
+# engine's exact-integer moments, extended to dyadic rationals).
+_EWMA_ORACLE = f"""
+WITH y AS (
+  SELECT event_type, ts, event_id,
+         CAST({_CENTS} AS DOUBLE) AS _y
+  FROM events
+),
+l AS (
+  SELECT event_type, ts, event_id, _y,
+         list(_y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN {_EWMA_W - 1} PRECEDING
+                        AND CURRENT ROW) AS frame
+  FROM y
+)
+SELECT event_type, ts, event_id, _y AS cents,
+       CAST(list_reduce(frame, (a, b) -> a * 0.5 + b * 0.5) AS DOUBLE)
+         AS ewma
+FROM l
+"""
+
+
+@register("ewma_smooth", oracle=_EWMA_ORACLE)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — exponentially weighted moving average per
+    series (alpha=1/2, trailing 24-sample frame): the dashboard
+    smoothing primitive PromQL exposes as ``holt_winters``'s level
+    component. The recursion ``s = s/2 + x/2`` runs as an array fold
+    over the window frame — one sort per series partition, no
+    self-join, no UDF — and both engines fold the identical sequence,
+    so the doubles match bit-for-bit (dyadic rationals, see oracle
+    comment)."""
+    ev = load_table(spark, "events", sf_dir)
+    y = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("double").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), 0)
+    )
+    frame = F.collect_list("cents").over(w)
+    ewma = F.aggregate(
+        F.slice(frame, F.lit(2), F.greatest(F.size(frame) - 1, F.lit(0))),
+        F.element_at(frame, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return y.select(
+        "event_type", "ts", "event_id", "cents", ewma.alias("ewma")
+    )

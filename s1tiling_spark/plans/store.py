@@ -377,11 +377,32 @@ class TierStore:
         Crash mid-stage leaves the entry in ``staging``: its rows stay
         invisible, :meth:`publish` refuses it, and compaction GCs its
         files once the writer is provably dead (same age discipline as
-        torn keyed appends). Returns the staged commit seq (an
-        internal handle — the PUBLISHED seq is minted at publish
-        time)."""
-        if any(e["audit_id"] == audit_id for e in self._staged_entries(tier)):
-            raise ValueError(f"tier {tier!r}: audit id {audit_id!r} already staged")
+        torn keyed appends). A NEW ``stage`` under the same audit_id
+        REPAIRS a ``staging`` leftover instead (removes the torn
+        files, restages) — the replay contract of the streaming sink:
+        an audit_id is owned by one logical producer, and its replay
+        only runs after the prior attempt died. Returns the staged
+        commit seq (an internal handle — the PUBLISHED seq is minted
+        at publish time)."""
+        existing = next(
+            (e for e in self._staged_entries(tier) if e["audit_id"] == audit_id),
+            None,
+        )
+        if existing is not None:
+            if existing["state"] != "staging":
+                raise ValueError(
+                    f"tier {tier!r}: audit id {audit_id!r} already "
+                    f"{existing['state']}"
+                )
+            # torn prior attempt (replay contract: its producer is
+            # dead) — remove whatever it moved, drop its record
+            self._remove_commit_files(tier, int(existing["seq"]))
+            self._update_meta(
+                lambda m, t=tier, a=audit_id: m.__setitem__(
+                    f"_staged_{t}",
+                    [e for e in m.get(f"_staged_{t}", []) if e["audit_id"] != a],
+                )
+            )
         seq = self.next_commit_seq()
         entry = {
             "audit_id": audit_id,
@@ -2391,6 +2412,34 @@ class TierStore:
             ]
             if not victims:
                 return 0
+            # a WAP candidate awaiting audit (or a live keyed commit
+            # mid-move) may have rows in the victim dates — dropping
+            # them would silently void part of a commit that later
+            # publishes. The file names carry the seqs, so the check
+            # is a driver-side listdir, no scan.
+            protect = {
+                int(e["seq"])
+                for e in self._staged_entries(tier)
+                if e["state"] in ("staging", "staged")
+            }
+            protect |= {s for s, _ in self._pending_keyed_commits(tier)}
+            if protect:
+                hit = sorted(
+                    {
+                        int(m.group(1))
+                        for part in victims
+                        for fn in os.listdir(os.path.join(path, part))
+                        if (m := self._FILE_SEQ_RE.match(fn))
+                        and fn.startswith("c")
+                        and int(m.group(1)) in protect
+                    }
+                )
+                if hit:
+                    raise ConcurrentCommitError(
+                        f"tier {tier!r}: retention below {keep_after} would "
+                        f"drop rows of in-flight commit(s) {hit} (staged "
+                        "and/or pending) — publish or abandon them first"
+                    )
             exp_seq = self.next_commit_seq()
 
             def _record_floor(m, t=tier, ka=str(keep_after), s=exp_seq):

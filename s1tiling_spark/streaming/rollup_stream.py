@@ -351,3 +351,67 @@ def run_stream_into_store(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+def run_validated_stream_into_store(
+    spark: SparkSession,
+    landing_dir: str,
+    store: TierStore,
+    checkpoint_dir: str,
+    validate,
+    tier: str = "1h",
+    available_now: bool = True,
+    watermark: str = "10 minutes",
+):
+    """Streaming write-audit-publish: every micro-batch is STAGED,
+    audited by ``validate`` (a ``DataFrame -> bool`` over the would-be
+    post-publish state from :meth:`TierStore.audit_read`), then
+    published or abandoned — bad batches (schema drift, poisoned
+    upstream, empty-join accidents) never become visible, not even
+    transiently, which a plain append-then-delete cannot promise.
+
+    Exactly-once across replays, by construction (no extra bookkeeping):
+    the audit_id is the replay-stable batch id, and every crash point
+    re-resolves from the staged record's state —
+      - before/mid stage  → ``stage`` repairs the torn attempt, restages;
+      - staged, undecided → the replay re-validates and decides;
+      - published/abandoned → the replay is a no-op.
+    The decision itself is idempotent because ``validate`` is a pure
+    function of the audited state.
+
+    Reference analog: the reference never moves an invalid product
+    into the output tree (tmp→rename after OTB success,
+    `/root/reference/s1tiling/libs/steps.py:123-145`) — this is that
+    gate at micro-batch granularity."""
+    agg = streaming_rollup_1h(spark, landing_dir, watermark=watermark)
+    run_id = new_run_id()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit_id = f"{checkpoint_dir}:b{batch_id}"
+        state = next(
+            (
+                e["state"]
+                for e in store._staged_entries(tier)
+                if e["audit_id"] == audit_id
+            ),
+            None,
+        )
+        if state in ("published", "abandoned"):
+            return  # replay of a fully decided batch
+        if state != "staged":  # fresh batch, or torn `staging` replay
+            store.stage(tier, batch_df, f"{run_id}-b{batch_id}", audit_id)
+        if validate(store.audit_read(tier, audit_id)):
+            store.publish(tier, audit_id)
+        else:
+            store.abandon(tier, audit_id)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -27,6 +27,7 @@ EXTRAS = {
     "matview_daily_totals",
     "matview_minmax_daily",
     "wap_publish_lifecycle",
+    "ewma_smooth",
     "quantile_over_time_1d",
 }
 WINDOW = 50
