@@ -788,3 +788,65 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y.select(
         "event_type", "ts", "event_id", "cents", ewma.alias("ewma")
     )
+
+
+# -- Holt-Winters double exponential smoothing (PromQL holt_winters) --
+# sf = tf = 1/2; same trailing frame as ewma_smooth. NO SQL oracle:
+# DuckDB 1.0's list_reduce mis-evaluates struct ACCUMULATORS on chains
+# of >= 3 elements (its chained result is inconsistent with composing
+# its own single-step results — e.g. fold over [{s:10,b:2},{s:12},
+# {s:14}] yields b=1.5 where step-by-step application of the same
+# lambda yields 2.0), so the level+trend pair cannot be folded there.
+# The query registers with oracle=None (driver rows-only check); exact
+# value parity is gated instead by tests/test_analytics.py::
+# test_holt_winters_matches_reference against an independent pandas
+# recursion at two scales.
+@register("holt_winters_smooth", oracle=None)
+def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — PromQL ``holt_winters`` (double
+    exponential: level + trend, sf=tf=1/2) per series over the
+    trailing 24-sample frame, as a struct-accumulator array fold over
+    the window frame — one sort per series, no self-join, no UDF.
+    PromQL init convention: level starts at the frame's first sample,
+    trend at the first difference; frames shorter than 2 emit NULL."""
+    ev = load_table(spark, "events", sf_dir)
+    y = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("double").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), 0)
+    )
+    frame = F.collect_list("cents").over(w)
+    half = F.lit(0.5)
+
+    def _step(acc, x):
+        level = half * x + half * (acc["s"] + acc["b"])
+        return F.struct(
+            level.alias("s"),
+            (half * (level - acc["s"]) + half * acc["b"]).alias("b"),
+        )
+
+    hw = F.when(
+        F.size(frame) >= 2,
+        F.aggregate(
+            F.slice(frame, F.lit(2), F.size(frame) - 1),
+            F.struct(
+                F.element_at(frame, 1).alias("s"),
+                (F.element_at(frame, 2) - F.element_at(frame, 1)).alias("b"),
+            ),
+            _step,
+        ),
+    )
+    return y.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "cents",
+        hw["s"].alias("level"),
+        hw["b"].alias("trend"),
+    )

@@ -283,11 +283,16 @@ def wap_publish_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.abandon("1h", "audit-bad")
     store.publish("1h", "audit-good")
     view = store.read("1h", keys=("bucket_start", "source"))
-    out = (
-        view.select("bucket_start", "source", "cnt", "sum_n_tok")
-        # per-call scratch store: pin rows off its files before rmtree
-        .localCheckpoint(eager=True)
-    )
+    if view is None:  # empty input: nothing was ever appended
+        out = spark.createDataFrame(
+            [], "bucket_start timestamp, source string, cnt long, sum_n_tok long"
+        )
+    else:
+        out = (
+            view.select("bucket_start", "source", "cnt", "sum_n_tok")
+            # per-call scratch store: pin rows off its files before rmtree
+            .localCheckpoint(eager=True)
+        )
     full.unpersist()
     shutil.rmtree(base_dir, ignore_errors=True)
     return out

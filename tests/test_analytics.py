@@ -621,3 +621,49 @@ def test_quantile_over_time_matches_reference(spark):
         exp = tuple(vs[(q * n + 99) // 100 - 1] for q in (50, 90, 99))
         assert got[key] == exp, key
     assert got[("lone", datetime(2024, 3, 2))] == (-7, -7, -7)
+
+
+def test_holt_winters_matches_reference(spark):
+    """holt_winters_smooth (level+trend struct fold) against an
+    independent per-row python recursion — the oracle DuckDB cannot
+    provide (its list_reduce mis-evaluates struct accumulators on
+    chains >= 3, see the query's module comment). Bit-exact doubles:
+    both sides run the identical recursion over the identical frame."""
+    from s1tiling_spark.catalog.analytics_queries import (
+        _EWMA_W,
+        holt_winters_smooth,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["ts"], r["event_id"]): (r["level"], r["trend"])
+        for r in holt_winters_smooth(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("double").alias("cents"),
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(ev, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(r)
+    checked = 0
+    for rows in series.values():
+        vals = [r["cents"] for r in rows]
+        for i, r in enumerate(rows):
+            frame = vals[max(0, i - (_EWMA_W - 1)) : i + 1]
+            key = (r["event_type"], r["ts"], r["event_id"])
+            if len(frame) < 2:
+                assert got[key] == (None, None)
+                continue
+            s, b = frame[0], frame[1] - frame[0]
+            for x in frame[1:]:
+                s1 = 0.5 * x + 0.5 * (s + b)
+                b = 0.5 * (s1 - s) + 0.5 * b
+                s = s1
+            assert got[key] == (s, b), (key, got[key], (s, b))
+            checked += 1
+    assert checked > 900

@@ -28,6 +28,7 @@ EXTRAS = {
     "matview_minmax_daily",
     "wap_publish_lifecycle",
     "ewma_smooth",
+    "holt_winters_smooth",
     "quantile_over_time_1d",
 }
 WINDOW = 50
