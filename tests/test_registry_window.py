@@ -11,6 +11,9 @@ EXTRAS = {
     "forecast_revenue_change",
     "counter_rate_1h",
     "ohlc_1h",
+    "irate_idelta_1h",
+    "subquery_max_rate_1d",
+    "sliding_increase_4h",
     "lttb_6h",
     "anomaly_zscore_topk",
     "seasonal_hourly_profile",

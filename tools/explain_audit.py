@@ -77,6 +77,23 @@ AUDITS = {
         "(both join sides read the cache — ONE scan of the input), "
         "never sort-merge the raw table against itself",
     ),
+    "irate_idelta_1h": (
+        ["WindowGroupLimit", "=1:Exchange hashpartitioning"],
+        "last-2-per-(series,hour) must compile to WindowGroupLimit "
+        "(O(2) state per group, rank never materialized) and the rank "
+        "window + pivot agg must reuse the derived-counter window's "
+        "series partitioning — exactly ONE exchange in the whole job",
+    ),
+    "subquery_max_rate_1d": (
+        ["=1:Exchange hashpartitioning"],
+        "hourly increase -> daily argmax both nest in the series "
+        "partitioning: ONE exchange total for the whole subquery",
+    ),
+    "sliding_increase_4h": (
+        ["=1:Exchange hashpartitioning"],
+        "sliding RANGE frame over hour indices rides the same series "
+        "partitioning as the counter window: ONE exchange total",
+    ),
 }
 
 
@@ -95,20 +112,38 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        # count assertions run against the SIMPLE plan string: formatted
+        # mode splits a node's name from its arguments ("(17) Exchange" /
+        # "Arguments: hashpartitioning(...)"), so a fragment like
+        # "Exchange hashpartitioning" only exists in simple mode
+        simple_plan = df._jdf.queryExecution().executedPlan().toString()
         # "!Fragment" = must NOT appear in the plan; violated negatives
         # are reported as FORBIDDEN-PRESENT (saying "MISSING ['!X']"
-        # would read as the exact opposite of what happened)
+        # would read as the exact opposite of what happened).
+        # "=N:Fragment" = must appear EXACTLY N times (shuffle-count
+        # claims: "one exchange total" is checkable, not just prose).
         missing = [
-            f for f in fragments if not f.startswith("!") and f not in plan
+            f
+            for f in fragments
+            if not f.startswith(("!", "=")) and f not in plan
         ]
         present = [
             f[1:] for f in fragments if f.startswith("!") and f[1:] in plan
         ]
+        miscount = []
+        for f in fragments:
+            if f.startswith("="):
+                want, _, frag = f[1:].partition(":")
+                got = simple_plan.count(frag)
+                if got != int(want):
+                    miscount.append(f"{frag!r} x{got} (want {want})")
         problems = []
         if missing:
             problems.append(f"MISSING {missing}")
         if present:
             problems.append(f"FORBIDDEN-PRESENT {present}")
+        if miscount:
+            problems.append(f"COUNT {miscount}")
         status = "OK" if not problems else " ".join(problems)
         if problems:
             failures += 1
