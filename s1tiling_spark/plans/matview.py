@@ -487,10 +487,14 @@ class MergeMatView(AdditiveMatView):
             upsert, dead_keys = self._incremental_upsert(cursor, to_seq)
         rows = 0
         cursor_target = to_seq
-        if upsert is not None:
-            upsert = upsert.persist()
+        if upsert is not None or dead_keys is not None:
+            # upsert may be None on an all-recompute range whose base
+            # read came back empty (every touched partition deleted):
+            # the dead-group deletes must still commit
+            if upsert is not None:
+                upsert = upsert.persist()
             try:
-                n_up = upsert.count()
+                n_up = upsert.count() if upsert is not None else 0
                 n_dead = 0
                 if dead_keys is not None:
                     dead_keys = dead_keys.persist()
@@ -522,14 +526,15 @@ class MergeMatView(AdditiveMatView):
                         # even for empty frames)
                         self.store.append(
                             self.view_tier,
-                            upsert.limit(0),
+                            (upsert if upsert is not None else dead_keys).limit(0),
                             seq,
                             run_id,
                             idempotency_key=f"mv~{cursor}~{to_seq}",
                         )
                     cursor_target = seq if seq == to_seq + 1 else to_seq
             finally:
-                upsert.unpersist()
+                if upsert is not None:
+                    upsert.unpersist()
                 if dead_keys is not None:
                     dead_keys.unpersist()
         self._advance_cursor(cursor_target)
@@ -567,43 +572,65 @@ class MergeMatView(AdditiveMatView):
         )
         merge_keys = touched.filter(F.col("_retract") == 0).drop("_retract")
         recompute_keys = touched.filter(F.col("_retract") == 1).drop("_retract")
-        # -- merge path: fold insert partials into current rows.
-        # update_after is included for the cross-group-move case (a
-        # group col derived from a non-key column): the after-image can
-        # land in a group whose only touch is that arrival — without a
-        # retraction there, it merges like an insert. In the common
-        # key-derived-group case the pair lands in ONE group, which is
-        # then retraction-touched and recomputed, so the merge path
-        # never sees it (review catch, r5).
-        inserts = ch.filter(F.col("op").isin("insert", "update_after"))
-        part = self._aggregate(inserts).join(
-            F.broadcast(merge_keys), list(self.view_keys), "semi"
-        )
-        merged = self._merge_rows(
-            part, self.store.read(self.view_tier, keys=self.view_keys)
-        )
-        # -- recompute path: re-aggregate touched groups from base
-        p_dates = self._recompute_p_dates(recompute_keys)
-        base = self.store.read(
-            self.base_tier,
-            as_of_seq=to_seq,
-            keys=self.base_keys,
-            p_dates=p_dates,
-        )
-        if base is None:
-            recomputed = None
-        else:
-            recomputed = self._aggregate(base).join(
-                F.broadcast(recompute_keys), list(self.view_keys), "semi"
+        # One tiny action over the persisted touched set decides which
+        # paths exist AT ALL this range. Real ranges are usually
+        # one-sided — steady-state appends are all-merge, a supersede
+        # or backfill is all-recompute — and each path costs several
+        # unique Catalyst plans (the merge path alone reads the view
+        # tier and compiles the register zip_with fold; the recompute
+        # path compiles the as-of base read + HLL re-aggregate).
+        # Compiling the dead branch used to dominate the mixed-refresh
+        # gate's wall time; data volume never did (PERF.md §26).
+        side_counts = {
+            int(r["_retract"]): int(r["n"])
+            for r in touched.groupBy("_retract").agg(F.count("*").alias("n")).collect()
+        }
+        has_merge = side_counts.get(0, 0) > 0
+        has_recompute = side_counts.get(1, 0) > 0
+        merged = None
+        if has_merge:
+            # -- merge path: fold insert partials into current rows.
+            # update_after is included for the cross-group-move case (a
+            # group col derived from a non-key column): the after-image
+            # can land in a group whose only touch is that arrival —
+            # without a retraction there, it merges like an insert. In
+            # the common key-derived-group case the pair lands in ONE
+            # group, which is then retraction-touched and recomputed,
+            # so the merge path never sees it (review catch, r5).
+            inserts = ch.filter(F.col("op").isin("insert", "update_after"))
+            part = self._aggregate(inserts).join(
+                F.broadcast(merge_keys), list(self.view_keys), "semi"
             )
-        if recomputed is None:
+            merged = self._merge_rows(
+                part, self.store.read(self.view_tier, keys=self.view_keys)
+            )
+        recomputed = None
+        dead = None
+        if has_recompute:
+            # -- recompute path: re-aggregate touched groups from base
+            p_dates = self._recompute_p_dates(recompute_keys)
+            base = self.store.read(
+                self.base_tier,
+                as_of_seq=to_seq,
+                keys=self.base_keys,
+                p_dates=p_dates,
+            )
+            if base is not None:
+                recomputed = self._aggregate(base).join(
+                    F.broadcast(recompute_keys), list(self.view_keys), "semi"
+                )
+            if recomputed is None:
+                dead = recompute_keys
+            else:
+                dead = recompute_keys.join(
+                    recomputed.select(*self.view_keys), list(self.view_keys), "anti"
+                )
+        if merged is None:
+            upsert = recomputed
+        elif recomputed is None:
             upsert = merged
-            dead = recompute_keys
         else:
             upsert = merged.unionByName(recomputed)
-            dead = recompute_keys.join(
-                recomputed.select(*self.view_keys), list(self.view_keys), "anti"
-            )
         return upsert, dead
 
     def _recompute_p_dates(self, recompute_keys: DataFrame) -> list | None:
