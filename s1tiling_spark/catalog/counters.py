@@ -5,7 +5,7 @@ BEYOND-WINDOW EXTRAS: registered after the TPC-H demonstrations, so
 they never compete with a §2 gate for the driver's 50-entry
 correctness window — verify with ``python tools/check_oracle.py
 counter_rate_1h ohlc_1h irate_idelta_1h subquery_max_rate_1d
-sliding_increase_4h``.
+sliding_increase_4h offset_compare_24h``.
 
 The input counter is derived deterministically in-query: the running
 sum of integer value-cents per event_type, wrapped modulo ``_MOD`` —
@@ -404,4 +404,82 @@ def sliding_increase_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("increase").over(w).cast("long")
             / F.lit(float(_SLIDING_HOURS * 3600))
         ).alias("window_rate_per_sec"),
+    )
+
+
+# ---------------------------------------------------------------------
+# PromQL offset modifier: increase(ctr[1h]) vs increase(ctr[1h] offset
+# 1d) — the day-over-day dashboard comparison ("is this hour hotter
+# than the same hour yesterday"). The shifted series is fetched with a
+# degenerate RANGE frame (BETWEEN 24 PRECEDING AND 24 PRECEDING over
+# the epoch-hour index): it selects exactly the hour_idx-24 row when it
+# exists and NULL when that hour is missing — gap-correct without a
+# self-join, and it rides the same series partitioning as the counter
+# window (no extra shuffle). Ratio is one IEEE division of two exact
+# integers; yesterday==0 publishes NULL (PromQL's NaN guard).
+_OFFSET_ORACLE = f"""
+WITH {COUNTER_CTE},
+lagd AS (
+  SELECT event_type, ts, counter,
+         lag(counter) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM ctr
+),
+h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS hour_idx,
+         CAST(sum(CASE WHEN prev IS NULL THEN NULL
+                       WHEN counter >= prev THEN counter - prev
+                       ELSE counter END) AS BIGINT) AS increase
+  FROM lagd GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT event_type, bucket_start, increase,
+         max(increase) OVER (
+           PARTITION BY event_type ORDER BY hour_idx
+           RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS increase_1d_ago
+  FROM h WHERE increase IS NOT NULL
+)
+SELECT event_type, bucket_start,
+       CAST(increase AS BIGINT) AS increase,
+       CAST(increase_1d_ago AS BIGINT) AS increase_1d_ago,
+       CAST(increase - increase_1d_ago AS BIGINT) AS dod_delta,
+       CASE WHEN increase_1d_ago > 0
+            THEN CAST(increase AS DOUBLE) / increase_1d_ago END AS dod_ratio
+FROM s WHERE increase_1d_ago IS NOT NULL
+"""
+
+
+@register("offset_compare_24h", oracle=_OFFSET_ORACLE)
+def offset_compare_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = counter_increase(
+        derived_counter(ev),
+        keys=["event_type"],
+        ts_col="ts",
+        counter_col="counter",
+        tier="1h",
+        order_cols=("event_id",),
+    ).filter(F.col("increase").isNotNull()).withColumn(
+        "hour_idx", F.expr("unix_micros(bucket_start) div 3600000000")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -24)
+    )
+    shifted = hourly.withColumn("increase_1d_ago", F.max("increase").over(w))
+    return shifted.filter(F.col("increase_1d_ago").isNotNull()).select(
+        "event_type",
+        "bucket_start",
+        F.col("increase").cast("long").alias("increase"),
+        F.col("increase_1d_ago").cast("long").alias("increase_1d_ago"),
+        (F.col("increase") - F.col("increase_1d_ago"))
+        .cast("long")
+        .alias("dod_delta"),
+        F.when(
+            F.col("increase_1d_ago") > 0,
+            F.col("increase").cast("double") / F.col("increase_1d_ago"),
+        ).alias("dod_ratio"),
     )

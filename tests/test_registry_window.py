@@ -14,6 +14,7 @@ EXTRAS = {
     "irate_idelta_1h",
     "subquery_max_rate_1d",
     "sliding_increase_4h",
+    "offset_compare_24h",
     "lttb_6h",
     "anomaly_zscore_topk",
     "seasonal_hourly_profile",

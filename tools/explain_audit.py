@@ -94,6 +94,11 @@ AUDITS = {
         "sliding RANGE frame over hour indices rides the same series "
         "partitioning as the counter window: ONE exchange total",
     ),
+    "offset_compare_24h": (
+        ["=1:Exchange hashpartitioning", "!Join"],
+        "the offset-1d fetch is a degenerate RANGE frame, not a "
+        "self-join: ONE exchange, no join operator anywhere",
+    ),
 }
 
 
