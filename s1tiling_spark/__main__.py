@@ -16,6 +16,8 @@ Subcommands:
   snapshots  list commits still present in a tier (time-travel catalog)
   files      file-level metadata table: rows/bytes/commit-seq range per
              parquet file, from footers only (Iceberg table.files)
+  partitions partition-level summary: files/rows/bytes/seq span per
+             p_date (Iceberg table.partitions; footers only)
   backfill   bucket-aligned window recompute from a corrected raw table
   rollback   void commits after a snapshot for current reads
              (Iceberg rollback_to_snapshot; metadata-only)
@@ -115,6 +117,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     fls.add_argument("--store", required=True)
     fls.add_argument("--tier", required=True)
+
+    pts = sub.add_parser(
+        "partitions",
+        help="partition-level summary: files/rows/bytes/seq span per "
+        "p_date (Iceberg table.partitions analog; footers only)",
+    )
+    pts.add_argument("--store", required=True)
+    pts.add_argument("--tier", required=True)
 
     bf = sub.add_parser(
         "backfill",
@@ -244,6 +254,11 @@ def main(argv: list[str] | None = None) -> int:
             from s1tiling_spark.plans.store import TierStore
 
             for row in TierStore(spark, args.store).files(args.tier):
+                print(json.dumps(row))
+        elif args.cmd == "partitions":
+            from s1tiling_spark.plans.store import TierStore
+
+            for row in TierStore(spark, args.store).partitions(args.tier):
                 print(json.dumps(row))
         elif args.cmd == "backfill":
             from datetime import datetime

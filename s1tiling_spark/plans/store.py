@@ -1495,6 +1495,38 @@ class TierStore:
                 )
         return out
 
+    def partitions(self, tier: str) -> list[dict]:
+        """Partition-level metadata summary (Iceberg ``table.partitions``
+        analog): one dict per live ``p_date`` with file count, row and
+        byte totals, and the commit-seq span — a pure driver-side fold
+        of :meth:`files` (footers only, no Spark job). This is the
+        capacity/health view a retention or compaction policy reads
+        first: ``n_files`` per date exposes small-file buildup before
+        :meth:`maybe_compact`'s ratio trips, and the seq span shows
+        which dates still carry uncompacted history."""
+        agg: dict[str, dict] = {}
+        for f in self.files(tier):
+            p = agg.setdefault(
+                f["p_date"],
+                {
+                    "p_date": f["p_date"],
+                    "n_files": 0,
+                    "rows": 0,
+                    "bytes": 0,
+                    "row_groups": 0,
+                    "seq_min": None,
+                    "seq_max": None,
+                },
+            )
+            p["n_files"] += 1
+            p["rows"] += f["rows"]
+            p["bytes"] += f["bytes"]
+            p["row_groups"] += f["row_groups"]
+            for k, fn in (("seq_min", min), ("seq_max", max)):
+                if f[k] is not None:
+                    p[k] = f[k] if p[k] is None else fn(p[k], f[k])
+        return [agg[d] for d in sorted(agg)]
+
     # ---------- incremental / CDC ----------
     def read_incremental(
         self,

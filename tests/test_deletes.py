@@ -480,3 +480,31 @@ def test_files_metadata_table(spark, seq, tmp_path):
     assert sum(f["rows"] for f in fl2) == full.count()
     # survivors keep their original commit_seq through the rewrite
     assert all(f["seq_min"] == s2 and f["seq_max"] == s2 for f in fl2)
+
+
+def test_partitions_metadata_summary(spark, seq, tmp_path):
+    """partitions(): the per-p_date fold of files() must reconcile with
+    both the file table (sums preserved) and the physical rows, expose
+    per-date small-file buildup (two appends -> n_files == 2 per date),
+    and collapse after a compact (n_files == 1, seq span intact)."""
+    store = TierStore(spark, str(tmp_path / "parts"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    s2 = store.next_commit_seq()
+    store.append("1d", full, s2, "run-2")
+
+    parts = store.partitions("1d")
+    fl = store.files("1d")
+    assert [p["p_date"] for p in parts] == sorted({f["p_date"] for f in fl})
+    assert sum(p["rows"] for p in parts) == sum(f["rows"] for f in fl)
+    assert sum(p["bytes"] for p in parts) == sum(f["bytes"] for f in fl)
+    assert all(p["n_files"] == 2 for p in parts)  # one file per append per date
+    assert all(p["seq_min"] == s1 and p["seq_max"] == s2 for p in parts)
+
+    store.compact("1d")
+    parts2 = store.partitions("1d")
+    assert [p["p_date"] for p in parts2] == [p["p_date"] for p in parts]
+    assert all(p["n_files"] == 1 for p in parts2)
+    assert sum(p["rows"] for p in parts2) == full.count()
+    assert all(p["seq_min"] == s2 and p["seq_max"] == s2 for p in parts2)
