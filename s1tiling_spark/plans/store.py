@@ -701,7 +701,7 @@ class TierStore:
                 del all_ranges[tier]
                 atomic_json_write(path, all_ranges)
 
-    # ---------- schema evolution (rename / drop) ----------
+    # ---------- schema evolution (rename / drop / widen) ----------
     # The tier's natural-key and lineage columns are structural: renames
     # would break partitioning, dedup windows and delete-file joins —
     # the same reason Iceberg restricts identifier-field changes. The
@@ -756,6 +756,131 @@ class TierStore:
         self._record_schema_op(tier, {"kind": "rename", "from": old, "to": new, "seq": seq})
         return seq
 
+    # narrow→wide rank order per family — the lossless promotions
+    # Iceberg's spec allows (int→long, float→double); everything else
+    # (string↔numeric, long→int) is a rewrite, not an evolution
+    _WIDEN_FAMILIES = (
+        ("tinyint", "smallint", "int", "bigint"),
+        ("float", "double"),
+    )
+    _WIDEN_ALIASES = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
+
+    @classmethod
+    def _widen_rank(cls, simple: str) -> tuple[int, int] | None:
+        simple = cls._WIDEN_ALIASES.get(simple, simple)
+        for fi, fam in enumerate(cls._WIDEN_FAMILIES):
+            if simple in fam:
+                return fi, fam.index(simple)
+        return None
+
+    def widen_column(self, tier: str, col: str, to: str) -> int:
+        """Metadata-only type widening (Iceberg ``ALTER TABLE ... TYPE``
+        promotion): ``int``→``bigint`` (any integral step up) or
+        ``float``→``double``. No data file is touched; reads at/after
+        the returned seq serve the wide type (narrow files are upcast
+        by the parquet reader under an explicit requested schema — the
+        file-store analog of Iceberg resolving files against the
+        current schema by field id), as-of reads below it still serve
+        the narrow type the snapshot had. Appends written after the
+        widen should use the wide type; the next ``compact`` bakes it
+        into every file and reads return to plain inferred scans.
+
+        Declare the widen BEFORE appending wide values: like Iceberg,
+        the schema change gates the data change — a wide value written
+        under a narrow declared type is out of contract (an as-of read
+        below the widen would downcast it)."""
+        to = self._WIDEN_ALIASES.get(to, to)
+        if col in self._PROTECTED_COLS:
+            raise ValueError(f"cannot widen structural column {col!r}")
+        df = self.read(tier, deduped=False)
+        dtypes = {} if df is None else dict(df.dtypes)
+        if col not in dtypes:
+            raise ValueError(
+                f"tier {tier!r} has no column {col!r} (have {sorted(dtypes)})"
+            )
+        cur = dtypes[col]
+        cur_rank, to_rank = self._widen_rank(cur), self._widen_rank(to)
+        if to_rank is None:
+            raise ValueError(
+                f"{to!r} is not a widening target (allowed: "
+                f"{self._WIDEN_FAMILIES})"
+            )
+        if cur_rank is None or cur_rank[0] != to_rank[0]:
+            raise ValueError(
+                f"cannot widen {col!r}: {cur!r} → {to!r} crosses type "
+                "families (only int→long-family and float→double are "
+                "lossless promotions)"
+            )
+        if to_rank[1] <= cur_rank[1]:
+            raise ValueError(
+                f"cannot widen {col!r}: {to!r} is not wider than {cur!r}"
+            )
+        seq = self.next_commit_seq()
+        self._record_schema_op(
+            tier, {"kind": "widen", "col": col, "from": cur, "to": to, "seq": seq}
+        )
+        return seq
+
+    def _union_read_schema(self, tier: str, ops: list[dict]):
+        """Explicit requested scan schema while a widen op is live:
+        the per-footer field union with the WIDEST type per column
+        (then any live widen targets applied on top, so the request is
+        wide even before the first wide file lands). Needed because
+        Spark's ``mergeSchema`` refuses int32-vs-int64 footers, while
+        the parquet reader happily upcasts a narrow file under an
+        explicit wider requested schema (verified: Spark 4.x widening
+        reads). Footer metadata only — same per-file cost discipline
+        as ``merge_schema``, paid only while the op is live; the next
+        compact bakes the wide type and reads return to inferred
+        scans. Data columns only: the partition column (``p_date``)
+        stays inference-appended, identical to plain reads."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import (
+            ByteType, DoubleType, FloatType, IntegerType, LongType,
+            ShortType, StructField, StructType,
+        )
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        by_simple = {
+            "tinyint": ByteType(), "smallint": ShortType(),
+            "int": IntegerType(), "bigint": LongType(),
+            "float": FloatType(), "double": DoubleType(),
+        }
+
+        def widest(name, a, b):
+            ra, rb = self._widen_rank(a.simpleString()), self._widen_rank(b.simpleString())
+            if ra is None or rb is None or ra[0] != rb[0]:
+                raise ValueError(
+                    f"tier {tier!r}: column {name!r} has incompatible "
+                    f"physical types across files ({a.simpleString()} vs "
+                    f"{b.simpleString()}) outside the widening families"
+                )
+            return a if ra[1] >= rb[1] else b
+
+        path = self.tier_path(tier)
+        merged: dict = {}
+        order: list[str] = []
+        for part in sorted(os.listdir(path)):
+            if not part.startswith("p_date="):
+                continue
+            pdir = os.path.join(path, part)
+            for fn in sorted(os.listdir(pdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                sch = from_arrow_schema(pq.read_schema(os.path.join(pdir, fn)))
+                for f in sch.fields:
+                    if f.name not in merged:
+                        merged[f.name] = f.dataType
+                        order.append(f.name)
+                    elif merged[f.name] != f.dataType:
+                        merged[f.name] = widest(f.name, merged[f.name], f.dataType)
+        for op in ops:
+            if op["kind"] == "widen" and op["col"] in merged:
+                merged[op["col"]] = widest(
+                    op["col"], merged[op["col"]], by_simple[op["to"]]
+                )
+        return StructType([StructField(n, merged[n], True) for n in order])
+
     def drop_column(self, tier: str, col: str) -> int:
         """Metadata-only column drop: hidden from reads at/after the
         returned seq, still served by as-of reads below it; physically
@@ -779,14 +904,30 @@ class TierStore:
         drop_horizon: int | None,
     ) -> DataFrame:
         """Resolve physical column spellings to the horizon's display
-        schema. Three passes, each metadata-only column algebra:
+        schema. Four passes, each metadata-only column algebra:
         1. canonicalize renames forward (coalesce both spellings — a
            row's value lives under whichever name its file used);
-        2. hide drops whose seq is within the drop horizon;
-        3. unless ``canonical``, rename back (newest first) the columns
-           whose rename postdates the read horizon, so the as-of state
-           shows the names it had."""
+        2. widen forward (cast to the declared wide type — a no-op
+           under the explicit union scan schema, load-bearing for
+           paths that read physical truth, e.g. compact);
+        3. hide drops whose seq is within the drop horizon;
+        4. unless ``canonical``, cast back the widens and rename back
+           the renames (newest first) that postdate the read horizon,
+           so the as-of state shows the schema it had."""
         h = float("inf") if horizon is None else int(horizon)
+
+        def _post_rename(col: str, from_seq: int) -> str:
+            # a widen recorded before a later rename names the column
+            # by its spelling AT WIDEN TIME — chase renames forward
+            for op in ops:
+                if (
+                    op["kind"] == "rename"
+                    and op["seq"] > from_seq
+                    and op["from"] == col
+                ):
+                    col = op["to"]
+            return col
+
         for op in ops:
             if op["kind"] == "rename":
                 old, new = op["from"], op["to"]
@@ -795,6 +936,11 @@ class TierStore:
                     df = df.withColumn(new, F.coalesce(new, old)).drop(old)
                 elif old in cols:
                     df = df.withColumnRenamed(old, new)
+        for op in ops:
+            if op["kind"] == "widen":
+                c = _post_rename(op["col"], op["seq"])
+                if c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(op["to"]))
         dh = h if drop_horizon is None else int(drop_horizon)
         if canonical and drop_horizon is None:
             dh = float("inf")
@@ -802,6 +948,14 @@ class TierStore:
             if op["kind"] == "drop" and op["seq"] <= dh and op["col"] in df.columns:
                 df = df.drop(op["col"])
         if not canonical:
+            # widen-backs first, on canonical spellings — the rename
+            # chase below would strand a cast that runs after its
+            # column was already renamed back
+            for op in reversed(ops):
+                if op["kind"] == "widen" and op["seq"] > h:
+                    c = _post_rename(op["col"], op["seq"])
+                    if c in df.columns:
+                        df = df.withColumn(c, F.col(c).cast(op["from"]))
             for op in reversed(ops):
                 if op["kind"] == "rename" and op["seq"] > h and op["to"] in df.columns:
                     df = df.withColumnRenamed(op["to"], op["from"])
@@ -1293,7 +1447,13 @@ class TierStore:
             o for o in self._schema_ops(tier) if o["seq"] > self.min_as_of(tier)
         ]
         reader = self.spark.read.option("basePath", path)
-        if merge_schema or schema_ops:
+        if any(o["kind"] == "widen" for o in schema_ops):
+            # live widen means files may disagree on TYPES, which
+            # mergeSchema refuses — request the explicit footer-union
+            # schema instead (covers renames' two spellings and
+            # merge_schema's new-column NULL back-fill too)
+            reader = reader.schema(self._union_read_schema(tier, schema_ops))
+        elif merge_schema or schema_ops:
             # live renames mean files disagree on column names — the
             # scan must union footers to expose both spellings
             reader = reader.option("mergeSchema", "true")

@@ -328,3 +328,130 @@ def test_rename_then_changes_serves_canonical_schema(spark, tmp_path):
     ch = store.changes("t", from_seq=s1, to_seq=s3)
     rows = [(r["op"], r["val"]) for r in ch.collect()]
     assert rows == [("update", 5)]
+
+
+# ---------- widen (type promotion) ----------
+
+
+def _typed_rows(spark, ts, src, val, vtype="int"):
+    from datetime import datetime as _dt
+
+    return spark.createDataFrame(
+        [(_dt.fromisoformat(ts), src, val)],
+        f"bucket_start timestamp, source string, v {vtype}",
+    )
+
+
+def test_widen_column_mixes_narrow_and_wide_files(spark, tmp_path):
+    """Metadata widen (Iceberg type promotion int→long): narrow files
+    written before the widen and wide files after it scan TOGETHER
+    (mergeSchema refuses this — the explicit union schema is the
+    mechanism); current reads serve bigint with a genuinely 64-bit
+    value intact, as-of reads below the widen still serve int; compact
+    bakes the wide type into every footer."""
+    import pyarrow.parquet as _pq
+
+    store = TierStore(spark, str(tmp_path / "widen"))
+    s1 = store.next_commit_seq()
+    store.append("t", _typed_rows(spark, "2024-01-01 10:00:00", "a", 7), s1, "b1")
+    w_seq = store.widen_column("t", "v", "bigint")
+    assert w_seq > s1
+    big = 3_000_000_000  # > 2^31: only representable post-widen
+    s3 = store.next_commit_seq()
+    store.append(
+        "t",
+        _typed_rows(spark, "2024-01-02 10:00:00", "b", big, vtype="bigint"),
+        s3,
+        "b2",
+    )
+
+    cur = store.read("t")
+    assert dict(cur.dtypes)["v"] == "bigint"
+    assert {(r["source"], r["v"]) for r in cur.collect()} == {("a", 7), ("b", big)}
+
+    old = store.read("t", as_of_seq=s1)
+    assert dict(old.dtypes)["v"] == "int"
+    assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 7)]
+
+    # changelog crossing the widen: canonical (wide) on both horizons
+    ch = store.changes("t", from_seq=s1, to_seq=s3)
+    assert [(r["op"], r["v"]) for r in ch.collect()] == [("insert", big)]
+
+    # history-preserving compaction: files rewritten wide, horizons intact
+    store.compact("t", expire_below=0)
+    for part in os.listdir(store.tier_path("t")):
+        if part.startswith("p_date="):
+            pdir = os.path.join(store.tier_path("t"), part)
+            for fn in os.listdir(pdir):
+                if fn.endswith(".parquet"):
+                    sch = _pq.read_schema(os.path.join(pdir, fn))
+                    assert str(sch.field("v").type) == "int64"
+    cur = store.read("t")
+    assert dict(cur.dtypes)["v"] == "bigint"
+    assert {(r["source"], r["v"]) for r in cur.collect()} == {("a", 7), ("b", big)}
+    old = store.read("t", as_of_seq=s1)
+    assert dict(old.dtypes)["v"] == "int"
+    assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 7)]
+
+    # full compaction: op baked below the horizon, plain inferred reads
+    store.compact("t")
+    cur = store.read("t")
+    assert dict(cur.dtypes)["v"] == "bigint"
+    assert {(r["source"], r["v"]) for r in cur.collect()} == {("a", 7), ("b", big)}
+
+
+def test_widen_validation(spark, tmp_path):
+    from datetime import datetime as _dt
+
+    store = TierStore(spark, str(tmp_path / "wval"))
+    df = spark.createDataFrame(
+        [(_dt(2024, 1, 1, 10), "a", 1, 1.5, "x")],
+        "bucket_start timestamp, source string, v int, f float, lbl string",
+    )
+    store.append("t", df, store.next_commit_seq(), "b1")
+    with pytest.raises(ValueError, match="structural"):
+        store.widen_column("t", "commit_seq", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        store.widen_column("t", "nope", "bigint")
+    with pytest.raises(ValueError, match="crosses type families"):
+        store.widen_column("t", "v", "double")
+    with pytest.raises(ValueError, match="crosses type families"):
+        store.widen_column("t", "lbl", "bigint")
+    with pytest.raises(ValueError, match="not wider"):
+        store.widen_column("t", "v", "int")
+    with pytest.raises(ValueError, match="not a widening target"):
+        store.widen_column("t", "v", "string")
+    # float→double is the fractional promotion
+    store.widen_column("t", "f", "double")
+    assert dict(store.read("t").dtypes)["f"] == "double"
+    # and a second widen continues from the already-widened type
+    with pytest.raises(ValueError, match="not wider"):
+        store.widen_column("t", "f", "double")
+
+
+def test_widen_then_rename_resolves_through_the_chain(spark, tmp_path):
+    """A widen recorded before a later rename must keep applying to the
+    column's NEW spelling (the forward-resolution chain), and the as-of
+    read below both ops serves the original narrow name and type."""
+    store = TierStore(spark, str(tmp_path / "wren"))
+    s1 = store.next_commit_seq()
+    store.append("t", _typed_rows(spark, "2024-01-01 10:00:00", "a", 7), s1, "b1")
+    store.widen_column("t", "v", "bigint")
+    store.rename_column("t", "v", "val")
+    big = 4_000_000_000
+    s4 = store.next_commit_seq()
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(__import__("datetime").datetime(2024, 1, 2, 10), "b", big)],
+            "bucket_start timestamp, source string, val bigint",
+        ),
+        s4,
+        "b2",
+    )
+    cur = store.read("t")
+    assert dict(cur.dtypes)["val"] == "bigint" and "v" not in cur.columns
+    assert {(r["source"], r["val"]) for r in cur.collect()} == {("a", 7), ("b", big)}
+    old = store.read("t", as_of_seq=s1)
+    assert dict(old.dtypes)["v"] == "int" and "val" not in old.columns
+    assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 7)]
