@@ -100,6 +100,10 @@ class TierStore:
         self.spark = spark
         self.base_dir = base_dir
         self.multi_writer = bool(multi_writer)
+        # declared-schema memo for append's write-time alignment —
+        # avoids re-inferring the tier schema on every micro-batch
+        # append; invalidated by schema ops, refreshed before any raise
+        self._declared_types: dict[str, dict[str, str]] = {}
         os.makedirs(base_dir, exist_ok=True)
 
     # ---------- cross-process locks ----------
@@ -723,6 +727,9 @@ class TierStore:
         self._update_meta(
             lambda m, t=tier, o=op: m.setdefault(f"_schema_{t}", []).append(o)
         )
+        # every schema op changes the tier's declared types — drop the
+        # write-alignment memo so the next append re-infers from disk
+        self._declared_types.pop(tier, None)
 
     def _current_columns(self, tier: str) -> list[str]:
         """Current canonical column names (union of footers + live ops
@@ -820,6 +827,95 @@ class TierStore:
             tier, {"kind": "widen", "col": col, "from": cur, "to": to, "seq": seq}
         )
         return seq
+
+    def _align_write_schema(self, tier: str, df: DataFrame) -> DataFrame:
+        """Write-time schema alignment (the Iceberg write contract):
+        every appended batch is resolved against the tier's DECLARED
+        (post-schema-ops) types before any file lands.
+
+        - a column NARROWER than declared (int into a bigint tier) is
+          upcast here, so plain inferred scans never meet mixed-width
+          footers — without this the landmine only detonates at read
+          time, possibly long after the writer is gone;
+        - a column WIDER than declared raises with the fix spelled out
+          (``widen_column`` first — the schema change gates the data
+          change, exactly Iceberg's rule);
+        - a cross-family conflict (string vs int) raises — that is a
+          rewrite, not an evolution;
+        - columns the tier has never seen pass through (add-column
+          evolution, served by ``merge_schema`` reads).
+
+        The declared types are memoized per tier (one inference per
+        store instance, not per micro-batch); any would-be raise first
+        refreshes the memo from disk so a concurrent writer's freshly
+        declared widen is honored rather than spuriously rejected."""
+        declared = self._declared_types.get(tier)
+        if declared is None:
+            cur = self.read(tier, deduped=False)
+            if cur is None:
+                return df
+            declared = dict(cur.dtypes)
+            self._declared_types[tier] = declared
+
+        def conflicts(decl):
+            out = []
+            for name, dt in df.dtypes:
+                if name in ("commit_seq", "run_id", "p_date"):
+                    continue  # lineage: append overwrites these anyway
+                want = decl.get(name)
+                if want is None or dt == want:
+                    continue
+                out.append((name, dt, want))
+            return out
+
+        bad = conflicts(declared)
+        if bad:
+            # refresh once before judging: the memo may predate a
+            # concurrent widen/rename (narrow-vs-wide is re-checked
+            # against disk truth, never rejected off a stale memo).
+            # The plain read's schema is ONE footer's view — merge it
+            # with the memo, keeping memo-only columns (add-column
+            # evolutions the footer may not carry) and the wider
+            # spelling per column, so the refresh can only gain
+            # knowledge, never forget it.
+            cur = self.read(tier, deduped=False)
+            fresh = dict(cur.dtypes) if cur is not None else {}
+            for name, t in declared.items():
+                have = fresh.get(name)
+                if have is None:
+                    fresh[name] = t
+                    continue
+                ra, rb = self._widen_rank(have), self._widen_rank(t)
+                if ra is not None and rb is not None and ra[0] == rb[0] and rb[1] > ra[1]:
+                    fresh[name] = t
+            declared = fresh
+            self._declared_types[tier] = declared
+            bad = conflicts(declared)
+        for name, dt, want in bad:
+            rin, rw = self._widen_rank(dt), self._widen_rank(want)
+            if rin is not None and rw is not None and rin[0] == rw[0]:
+                if rin[1] < rw[1]:
+                    df = df.withColumn(name, F.col(name).cast(want))
+                    continue
+                raise ValueError(
+                    f"tier {tier!r}: append column {name!r} is {dt} but "
+                    f"the declared type is {want} — call "
+                    f"widen_column({tier!r}, {name!r}, {dt!r}) BEFORE "
+                    "appending wide values (the schema change gates the "
+                    "data change)"
+                )
+            raise ValueError(
+                f"tier {tier!r}: append column {name!r} type {dt} "
+                f"conflicts with the declared {want} across type "
+                "families — cast explicitly before append (this is a "
+                "rewrite, not a schema evolution)"
+            )
+        # add-column evolution: remember the new columns so a LATER
+        # append's narrower spelling of them is still aligned
+        new_cols = {n: t for n, t in df.dtypes if n not in declared}
+        if new_cols:
+            declared.update(new_cols)
+        return df
 
     def _union_read_schema(self, tier: str, ops: list[dict]):
         """Explicit requested scan schema while a widen op is live:
@@ -1168,6 +1264,7 @@ class TierStore:
             if prior.get("state", "committed") == "committed":
                 return 0
             self._remove_commit_files(tier, int(prior["commit_seq"]))
+        df = self._align_write_schema(tier, df)
         out = (
             df.withColumn("commit_seq", F.lit(commit_seq))
             .withColumn("run_id", F.lit(run_id))

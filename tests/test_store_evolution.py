@@ -455,3 +455,145 @@ def test_widen_then_rename_resolves_through_the_chain(spark, tmp_path):
     old = store.read("t", as_of_seq=s1)
     assert dict(old.dtypes)["v"] == "int" and "val" not in old.columns
     assert [(r["source"], r["v"]) for r in old.collect()] == [("a", 7)]
+
+
+# ---------- write-time schema alignment (the Iceberg write contract) ----------
+
+
+def test_append_upcasts_narrow_batch_after_widen(spark, tmp_path):
+    """After ``widen_column`` the tier's declared type gates every
+    append: a batch still carrying the NARROW type is upcast at write
+    time, so no post-widen footer is ever narrow — plain inferred
+    scans (post-compact) never meet mixed widths, and the landmine
+    cannot detonate at read time after the writer is gone."""
+    store = TierStore(spark, str(tmp_path / "aw"))
+    s1 = store.next_commit_seq()
+    store.append("t", _typed_rows(spark, "2024-01-01 10:00:00", "a", 7), s1, "b1")
+    store.widen_column("t", "v", "bigint")
+    # narrow batch AFTER the widen — same store instance (memo must be
+    # invalidated by the schema op, not just refreshed on conflict)
+    s3 = store.next_commit_seq()
+    store.append("t", _typed_rows(spark, "2024-01-02 10:00:00", "b", 9), s3, "b2")
+
+    # every footer under the post-widen date is already int64
+    for part in os.listdir(store.tier_path("t")):
+        if part.startswith("p_date=2024-01-02"):
+            pdir = os.path.join(store.tier_path("t"), part)
+            for fn in os.listdir(pdir):
+                if fn.endswith(".parquet"):
+                    sch = pq.read_schema(os.path.join(pdir, fn))
+                    assert str(sch.field("v").type) == "int64"
+    cur = store.read("t")
+    assert dict(cur.dtypes)["v"] == "bigint"
+    assert {(r["source"], r["v"]) for r in cur.collect()} == {("a", 7), ("b", 9)}
+
+
+def test_append_wide_without_declared_widen_raises(spark, tmp_path):
+    """A wide value under a narrow declared type is out of contract
+    (an as-of read below the widen would downcast it): the append
+    fails fast, naming the widen_column call that legalizes it."""
+    store = TierStore(spark, str(tmp_path / "awr"))
+    store.append(
+        "t",
+        _typed_rows(spark, "2024-01-01 10:00:00", "a", 7),
+        store.next_commit_seq(),
+        "b1",
+    )
+    with pytest.raises(ValueError, match="widen_column"):
+        store.append(
+            "t",
+            _typed_rows(spark, "2024-01-02 10:00:00", "b", 3_000_000_000, "bigint"),
+            store.next_commit_seq(),
+            "b2",
+        )
+    # cross-family conflict is a rewrite, not an evolution
+    with pytest.raises(ValueError, match="type families"):
+        store.append(
+            "t",
+            spark.createDataFrame(
+                [(__import__("datetime").datetime(2024, 1, 2, 10), "b", "oops")],
+                "bucket_start timestamp, source string, v string",
+            ),
+            store.next_commit_seq(),
+            "b3",
+        )
+
+
+def test_append_honors_concurrent_writers_widen(spark, tmp_path):
+    """The declared-type memo is per store instance; a widen declared
+    by ANOTHER process must be honored, not spuriously rejected off
+    the stale memo — the conflict path re-reads disk truth first."""
+    a = TierStore(spark, str(tmp_path / "cw"), multi_writer=True)
+    b = TierStore(spark, str(tmp_path / "cw"), multi_writer=True)
+    a.append(
+        "t",
+        _typed_rows(spark, "2024-01-01 10:00:00", "a", 7),
+        a.next_commit_seq(),
+        "b1",
+    )
+    # warm a's memo with the narrow declared type
+    a.append(
+        "t",
+        _typed_rows(spark, "2024-01-01 11:00:00", "a2", 8),
+        a.next_commit_seq(),
+        "b2",
+    )
+    b.widen_column("t", "v", "bigint")
+    big = 5_000_000_000
+    a.append(
+        "t",
+        _typed_rows(spark, "2024-01-02 10:00:00", "c", big, "bigint"),
+        a.next_commit_seq(),
+        "b3",
+    )
+    cur = a.read("t")
+    assert dict(cur.dtypes)["v"] == "bigint"
+    assert {(r["source"], r["v"]) for r in cur.collect()} == {
+        ("a", 7),
+        ("a2", 8),
+        ("c", big),
+    }
+
+
+def test_append_aligns_add_column_evolutions_later_spelling(spark, tmp_path):
+    """Add-column evolution passes through; a LATER batch spelling the
+    new column narrower is aligned against the remembered declared
+    type, not treated as a fresh column."""
+    from datetime import datetime as _dt
+
+    store = TierStore(spark, str(tmp_path / "ac"))
+    store.append(
+        "t",
+        _typed_rows(spark, "2024-01-01 10:00:00", "a", 7),
+        store.next_commit_seq(),
+        "b1",
+    )
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(_dt(2024, 1, 2, 10), "b", 8, 6_000_000_000)],
+            "bucket_start timestamp, source string, v int, extra bigint",
+        ),
+        store.next_commit_seq(),
+        "b2",
+    )
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(_dt(2024, 1, 3, 10), "c", 9, 11)],
+            "bucket_start timestamp, source string, v int, extra int",
+        ),
+        store.next_commit_seq(),
+        "b3",
+    )
+    for part in os.listdir(store.tier_path("t")):
+        if part.startswith("p_date=2024-01-03"):
+            pdir = os.path.join(store.tier_path("t"), part)
+            for fn in os.listdir(pdir):
+                if fn.endswith(".parquet"):
+                    sch = pq.read_schema(os.path.join(pdir, fn))
+                    assert str(sch.field("extra").type) == "int64"
+    cur = store.read("t", merge_schema=True)
+    assert dict(cur.dtypes)["extra"] == "bigint"
+    got = {(r["source"], r["v"], r["extra"]) for r in cur.collect()}
+    assert got == {("a", 7, None), ("b", 8, 6_000_000_000), ("c", 9, 11)}
