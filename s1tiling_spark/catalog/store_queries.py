@@ -296,3 +296,64 @@ def wap_publish_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     full.unpersist()
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+_PRUNED_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE} "
+    f"SELECT {bucket_sql('event_ts', '1h')} AS bucket_start, source, "
+    "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok, "
+    "min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok "
+    "FROM sequences WHERE source = 'src7' GROUP BY 1, 2"
+)
+
+
+@register("source_pruned_read", oracle=_PRUNED_ORACLE)
+def source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — manifest-bounds data-file skipping end to
+    end: the 1h tier is committed in two source-disjoint batches (so
+    each data file carries a narrow recorded ``source`` range), then a
+    single-source serving read plans ONLY the files whose bounds admit
+    it — the gate RAISES unless the scan actually shrank, and the
+    values must equal a DuckDB filter of the same rollup.
+
+    This is the date-partitioned layout answering a source-selective
+    query without a second partition dimension (Iceberg manifest
+    lower/upper-bounds pruning; reference analog: per-polarization
+    product selection, `S1FileManager.py:1006-1039`).
+    """
+    seq = sequences_from_documents(spark, sf_dir)
+    h = rollup_sequences(seq, "1h")
+    base_dir = tempfile.mkdtemp(prefix="s1ts_prune_gate_")
+    store = TierStore(spark, base_dir)
+    # lexicographically disjoint halves → disjoint per-file bounds
+    store.append("1h", h.filter(F.col("source") < "src3"),
+                 store.next_commit_seq(), "lo")
+    store.append("1h", h.filter(F.col("source") >= "src3"),
+                 store.next_commit_seq(), "hi")
+    pruned = store.read("1h", sources=["src7"])
+    if pruned is None:  # empty input: nothing was ever appended
+        shutil.rmtree(base_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "bucket_start timestamp, source string, cnt long, "
+            "sum_n_tok long, min_n_tok int, max_n_tok int",
+        )
+    n_pruned = len([f for f in pruned.inputFiles() if "/p_date=" in f])
+    n_all = len([
+        f for f in store.read("1h").inputFiles() if "/p_date=" in f
+    ])
+    if not n_pruned < n_all:
+        raise RuntimeError(
+            f"source-bounds pruning did not shrink the scan "
+            f"({n_pruned} of {n_all} files planned)"
+        )
+    out = (
+        pruned.select(
+            "bucket_start", "source", "cnt", "sum_n_tok",
+            "min_n_tok", "max_n_tok",
+        )
+        # per-call scratch store: pin rows off its files before rmtree
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out

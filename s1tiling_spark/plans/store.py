@@ -1306,6 +1306,7 @@ class TierStore:
         self._wait_maintenance_clear(tier)
         dest = self.tier_path(tier)
         os.makedirs(dest, exist_ok=True)
+        moved: list[str] = []
         for part in os.listdir(tmp):
             if not part.startswith("p_date="):
                 continue
@@ -1319,7 +1320,9 @@ class TierStore:
                         os.path.join(tmp, part, fn),
                         os.path.join(dpart, f"c{commit_seq}-{fn}"),
                     )
+                    moved.append(f"{part}/c{commit_seq}-{fn}")
         shutil.rmtree(tmp)
+        self._record_file_bounds(tier, moved)
         if marker is not None:
             # phase 2: the committed flip is the commit point
             atomic_json_write(
@@ -1430,37 +1433,137 @@ class TierStore:
             return None
         return keep
 
-    def _prefix_compact_files(self, tmp: str) -> None:
+    def _record_file_bounds(self, tier: str, rel_paths: list[str]) -> None:
+        """Record per-file ``source`` min/max bounds for freshly
+        committed data files (the Iceberg manifest column-bounds
+        analog, ``lower_bounds``/``upper_bounds``): the WRITER pays one
+        local footer read per file it just wrote — O(its own commit),
+        never a table-wide listing — and reads get
+        :meth:`_plan_source_files` file skipping forever after. Purely
+        advisory metadata: a file with no entry is always scanned."""
+        import pyarrow.parquet as pq
+
+        dest = self.tier_path(tier)
+        entries: dict[str, list] = {}
+        for rel in rel_paths:
+            fp = os.path.join(dest, rel)
+            try:
+                sb = self._footer_col_minmax(pq.read_metadata(fp), "source")
+            except OSError:
+                continue
+            if sb is not None:
+                entries[rel] = [str(sb[0]), str(sb[1])]
+        if entries:
+            self._update_meta(
+                lambda m, t=tier, e=entries: m.setdefault(
+                    f"_filebounds_{t}", {}
+                ).update(e)
+            )
+
+    def _plan_source_files(
+        self, tier: str, sources, base: list[str] | None
+    ) -> list[str] | None:
+        """Data-file skipping by recorded ``source`` bounds (Iceberg
+        manifest min/max pruning): given the candidate file list
+        (``base`` from incremental planning, else the live directory
+        walk), keep every file whose recorded [min, max] range admits
+        at least one requested source — plus every file with NO
+        recorded bounds (legacy/crash-gap files are conservatively
+        scanned; the row filter keeps results exact either way).
+
+        Returns None when nothing would be skipped (the caller keeps
+        the plain scan — identical plan, no file list to ship). At
+        10^12 rows with date-only partitioning this is what turns a
+        single-source serving read from O(all files of the date range)
+        into O(that source's files), without a second partition
+        dimension (source-partitioning would explode partition count;
+        bounds-skipping gets the same scan shape from layout alone)."""
+        bounds = self._read_compact_meta().get(f"_filebounds_{tier}") or {}
+        if not bounds:
+            return None
+        path = self.tier_path(tier)
+        if base is None:
+            cand = []
+            for part in os.listdir(path):
+                dpart = os.path.join(path, part)
+                if not (part.startswith("p_date=") and os.path.isdir(dpart)):
+                    continue
+                cand.extend(
+                    os.path.join(dpart, fn)
+                    for fn in os.listdir(dpart)
+                    if fn.endswith(".parquet")
+                )
+        else:
+            cand = base
+        want = [str(s) for s in sources]
+        keep: list[str] = []
+        skipped = 0
+        for fp in cand:
+            rel = "/".join(fp.replace(os.sep, "/").rsplit("/", 2)[-2:])
+            b = bounds.get(rel)
+            if b is not None and not any(b[0] <= s <= b[1] for s in want):
+                skipped += 1
+                continue
+            keep.append(fp)
+        if skipped == 0:
+            return base
+        if not keep:
+            # every file pruned: scan one file anyway (the row filter
+            # yields the empty result) — reader.parquet() needs a path
+            keep = cand[:1]
+        return keep
+
+    @staticmethod
+    def _footer_col_minmax(md, col: str):
+        """(min, max) of ``col`` across a footer's row-group stats, or
+        None when the column is absent or any group lacks stats."""
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        stats = [
+            md.row_group(g).column(idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        if not stats or any(s is None or s.min is None or s.max is None for s in stats):
+            return None
+        return min(s.min for s in stats), max(s.max for s in stats)
+
+    def _prefix_compact_files(self, tmp: str) -> dict[str, list]:
         """Name each compact output file ``m<maxseq>-...`` where maxseq
         is its exact footer max ``commit_seq`` (pyarrow, driver-side —
         one footer per output file, i.e. one per partition; on a real
         catalog this rides the manifest commit). These names are what
         lets :meth:`_plan_files_above_seq` skip compacted history at
-        PLANNING time forever after."""
+        PLANNING time forever after.
+
+        Returns the per-file ``source`` bounds of every output (keyed
+        by its POST-rename ``p_date=…/file`` rel path) — the same
+        footers are already open, so compact's manifest entry for
+        :meth:`_plan_source_files` rides this pass for free."""
         import pyarrow.parquet as pq
 
+        bounds: dict[str, list] = {}
         for part in os.listdir(tmp):
             dpart = os.path.join(tmp, part)
             if not (part.startswith("p_date=") and os.path.isdir(dpart)):
                 continue
             for fn in list(os.listdir(dpart)):
-                if not fn.endswith(".parquet") or self._FILE_SEQ_RE.match(fn):
+                if not fn.endswith(".parquet"):
                     continue
                 md = pq.read_metadata(os.path.join(dpart, fn))
-                try:
-                    idx = md.schema.names.index("commit_seq")
-                except ValueError:
-                    continue
-                stats = [
-                    md.row_group(g).column(idx).statistics
-                    for g in range(md.num_row_groups)
-                ]
-                if not stats or any(s is None for s in stats):
-                    continue
-                hi = max(int(s.max) for s in stats)
-                os.rename(
-                    os.path.join(dpart, fn), os.path.join(dpart, f"m{hi}-{fn}")
-                )
+                out_fn = fn
+                if not self._FILE_SEQ_RE.match(fn):
+                    mm = self._footer_col_minmax(md, "commit_seq")
+                    if mm is not None:
+                        out_fn = f"m{int(mm[1])}-{fn}"
+                        os.rename(
+                            os.path.join(dpart, fn), os.path.join(dpart, out_fn)
+                        )
+                sb = self._footer_col_minmax(md, "source")
+                if sb is not None:
+                    bounds[f"{part}/{out_fn}"] = [str(sb[0]), str(sb[1])]
+        return bounds
 
     def read(
         self,
@@ -1471,6 +1574,7 @@ class TierStore:
         merge_schema: bool = False,
         ref: str | None = None,
         p_dates: list | None = None,
+        sources: list | None = None,
         canonical_names: bool = False,
         min_seq_hint: int | None = None,
         audit_seq: int | None = None,
@@ -1521,6 +1625,15 @@ class TierStore:
         them from the touched keys). The filter sits directly on the
         partition column, so unlisted dates are never opened.
 
+        ``sources``: restrict the read to these sources. Semantically a
+        row filter on ``source`` applied BEFORE the MERGE-on-read dedup
+        (identical to filtering after under the default keys, which
+        include ``source``); physically it also skips whole data files
+        whose recorded per-file source bounds (:meth:`_record_file_
+        bounds`, the Iceberg manifest lower/upper-bounds analog) admit
+        none of the requested sources — the single-source serving read
+        scans O(that source's files), not O(all files of the date).
+
         ``min_seq_hint``: incremental file skipping
         (:meth:`_plan_files_above_seq`). A pure OPTIMIZATION hint —
         the caller promises it will anyway discard rows with
@@ -1559,6 +1672,11 @@ class TierStore:
             if min_seq_hint is not None
             else None
         )
+        if sources is not None:
+            # manifest-bounds data-file skipping composes with the
+            # incremental file plan: prune the already-planned list (or
+            # the live walk) by recorded per-file source ranges
+            planned = self._plan_source_files(tier, sources, planned)
         # basePath keeps p_date partition parsing identical for the
         # explicit file list; None → nothing skippable, plain dir scan
         df = reader.parquet(*planned) if planned is not None else reader.parquet(path)
@@ -1578,6 +1696,10 @@ class TierStore:
             df = self._apply_staged(df, tier, audit_seq)
         if p_dates is not None:
             df = df.filter(F.col("p_date").isin([str(d) for d in p_dates]))
+        if sources is not None:
+            # the row filter is ALWAYS applied — file skipping above is
+            # a pure scan optimization, never the correctness mechanism
+            df = df.filter(F.col("source").isin([str(s) for s in sources]))
         if as_of_seq is not None:
             horizon = self.min_as_of(tier)
             if as_of_seq < horizon:
@@ -1727,18 +1849,8 @@ class TierStore:
                     continue
                 fp = os.path.join(pdir, fn)
                 md = pq.read_metadata(fp)
-                seq_lo = seq_hi = None
-                try:
-                    idx = md.schema.names.index("commit_seq")
-                    stats = [
-                        md.row_group(g).column(idx).statistics
-                        for g in range(md.num_row_groups)
-                    ]
-                    if all(s is not None for s in stats):
-                        seq_lo = min(int(s.min) for s in stats)
-                        seq_hi = max(int(s.max) for s in stats)
-                except ValueError:
-                    pass
+                seq_mm = self._footer_col_minmax(md, "commit_seq")
+                src_mm = self._footer_col_minmax(md, "source")
                 out.append(
                     {
                         "p_date": part.split("=", 1)[1],
@@ -1746,8 +1858,10 @@ class TierStore:
                         "rows": md.num_rows,
                         "bytes": os.path.getsize(fp),
                         "row_groups": md.num_row_groups,
-                        "seq_min": seq_lo,
-                        "seq_max": seq_hi,
+                        "seq_min": None if seq_mm is None else int(seq_mm[0]),
+                        "seq_max": None if seq_mm is None else int(seq_mm[1]),
+                        "source_min": None if src_mm is None else str(src_mm[0]),
+                        "source_max": None if src_mm is None else str(src_mm[1]),
                     }
                 )
         return out
@@ -2483,7 +2597,7 @@ class TierStore:
         # time; 'm' not 'c': torn-keyed-append repair removes by
         # c<seq>- and must never match a folded file that merely
         # CONTAINS that seq
-        self._prefix_compact_files(tmp)
+        out_bounds = self._prefix_compact_files(tmp)
         vals = obs.get
         n_rows = int(vals["rows"])
         if new_horizon is None:
@@ -2578,9 +2692,25 @@ class TierStore:
                 ]
 
             self._update_meta(_gc_staged)
-        # AFTER the swap (unlike the horizon): losing this marker to a
-        # crash only costs one redundant rewrite on the next scheduled
-        # maybe_compact — conservative, never wrong
+        # AFTER the swap: the manifest's file-bounds entries are rebuilt
+        # from the compact outputs plus whichever old entries still have
+        # a live file — dead entries (replaced/expired files) are pruned
+        # here, the one periodic GC the bounds dict gets. Losing this to
+        # a crash only costs pruning power (a file with no entry is
+        # conservatively scanned), never correctness.
+        def _rebuild_bounds(m, t=tier, new=out_bounds):
+            live_root = self.tier_path(t)
+            kept = {
+                rel: b
+                for rel, b in m.get(f"_filebounds_{t}", {}).items()
+                if os.path.exists(os.path.join(live_root, rel))
+            }
+            kept.update(new)
+            m[f"_filebounds_{t}"] = kept
+
+        self._update_meta(_rebuild_bounds)
+        # losing this marker to a crash only costs one redundant rewrite
+        # on the next scheduled maybe_compact — conservative, never wrong
         last = self.last_commit_seq()
         self._update_meta(
             lambda m, t=tier, s=last: m.__setitem__(f"_last_compact_seq_{t}", s)
