@@ -166,6 +166,22 @@ def main(argv: list[str] | None = None) -> int:
         "--show", type=int, default=20, help="rows to print (audit)"
     )
 
+    brp = sub.add_parser(
+        "branch",
+        help="writable branch refs over the WAP layer: create | write | "
+        "read | merge | drop | list (Iceberg branch lifecycle analog)",
+    )
+    brp.add_argument(
+        "action", choices=("create", "write", "read", "merge", "drop", "list")
+    )
+    brp.add_argument("--store", required=True)
+    brp.add_argument("--tier", required=True)
+    brp.add_argument("--name", help="branch name (all but list)")
+    brp.add_argument("--input", help="commit parquet dir (write)")
+    brp.add_argument(
+        "--show", type=int, default=20, help="rows to print (read)"
+    )
+
     vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
     vidx.add_argument("action", choices=("build", "append", "status", "compact"))
     vidx.add_argument("--index", required=True, help="index base dir")
@@ -320,6 +336,37 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 store.abandon(args.tier, args.audit_id)
                 print(json.dumps({"audit_id": args.audit_id, "abandoned": True}))
+        elif args.cmd == "branch":
+            from s1tiling_spark.plans.store import TierStore, new_run_id
+
+            store = TierStore(spark, args.store)
+            if args.action != "list" and not args.name:
+                raise SystemExit(f"branch {args.action} requires --name")
+            if args.action == "create":
+                base = store.create_branch(args.tier, args.name)
+                print(json.dumps({"branch": args.name, "base_seq": base}))
+            elif args.action == "write":
+                if not args.input:
+                    raise SystemExit("branch write requires --input")
+                seq = store.write_branch(
+                    args.tier,
+                    args.name,
+                    spark.read.parquet(args.input),
+                    new_run_id(),
+                )
+                print(json.dumps({"branch": args.name, "staged_seq": seq}))
+            elif args.action == "read":
+                df = store.read(args.tier, branch=args.name)
+                for row in df.limit(args.show).collect():
+                    print(json.dumps(row.asDict(), default=str))
+            elif args.action == "merge":
+                pubs = store.merge_branch(args.tier, args.name)
+                print(json.dumps({"branch": args.name, "published_seqs": pubs}))
+            elif args.action == "drop":
+                store.drop_branch(args.tier, args.name)
+                print(json.dumps({"branch": args.name, "dropped": True}))
+            else:
+                print(json.dumps(store.branches(args.tier)))
         elif args.cmd == "index":
             from s1tiling_spark.plans.vector_index import VectorIndex
 

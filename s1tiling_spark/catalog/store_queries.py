@@ -357,3 +357,112 @@ def source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+_BRANCH_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE}, "
+    f"r AS (SELECT {bucket_sql('event_ts', '1h')} AS bucket_start, source, "
+    "count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+    "FROM sequences GROUP BY 1, 2) "
+    # pre-merge: main sees its own mid-branch advance ONLY
+    "SELECT CAST('pre' AS VARCHAR) AS phase, bucket_start, source, "
+    "CAST(CASE WHEN hour(bucket_start) % 3 = 0 THEN cnt + 7 "
+    "ELSE cnt END AS BIGINT) AS cnt, sum_n_tok FROM r "
+    "UNION ALL "
+    # post-merge: the chain cherry-picks IN ORDER onto main — commit 2
+    # (+200, hours %4) wins over commit 1 (+50, hours %2) on overlap
+    # and both win over the mid-branch +7; the dropped branch's +999
+    # never lands
+    "SELECT CAST('post' AS VARCHAR) AS phase, bucket_start, source, "
+    "CAST(CASE WHEN hour(bucket_start) % 4 = 0 THEN cnt + 200 "
+    "WHEN hour(bucket_start) % 2 = 0 THEN cnt + 50 "
+    "WHEN hour(bucket_start) % 3 = 0 THEN cnt + 7 "
+    "ELSE cnt END AS BIGINT) AS cnt, sum_n_tok FROM r"
+)
+
+
+@register("branch_merge_lifecycle", oracle=_BRANCH_ORACLE)
+def branch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — writable branch refs end-to-end against a
+    DuckDB oracle of BOTH horizons (pre-merge and post-merge main),
+    union-tagged by ``phase`` so one value hash pins every rule:
+
+    1. base append (all 1h rollup keys);
+    2. branch ``exp`` created at the base snapshot;
+    3. branch commit 1: even hours, cnt+50 — invisible to main;
+    4. main advances mid-branch: hours %3, cnt+7 — invisible to the
+       branch (lineage diverged at base);
+    5. branch commit 2: hours %4, cnt+200 — within-branch newest-wins
+       over commit 1 on the overlap (%4 ⊂ %2);
+    6. a second branch ``bad`` (src_hot, cnt+999) is DROPPED — its
+       rows must never surface at either horizon;
+    7. ``exp`` merges: ordered cherry-pick re-mints fresh seqs, so the
+       chain wins over the mid-branch +7 and commit 2 stays above
+       commit 1.
+
+    'pre' rows = base + mid-advance only (any +50/+200/+999 there is a
+    branch isolation leak); 'post' rows = the merged lattice
+    (+200 > +50 > +7 > base). A chain-order slip (commit 1 re-minted
+    above commit 2), a base-snapshot slip (branch seeing +7), or a
+    dropped-branch leak each breaks the hash.
+
+    Reference analog: the reference runs what-if reprocessing
+    campaigns into a separate output tree and swaps directories
+    (`/root/reference/s1tiling/libs/api.py:297-315` rebuilds the graph
+    for a retry run); a branch is that campaign sharing the table and
+    landing atomically."""
+    seq = sequences_from_documents(spark, sf_dir)
+    base_dir = tempfile.mkdtemp(prefix="s1ts_branch_gate_")
+    store = TierStore(spark, base_dir)
+    full = (
+        rollup_sequences(seq, "1h")
+        .select("bucket_start", "source", "cnt", "sum_n_tok")
+        .persist()
+    )
+    store.append("1h", full, store.next_commit_seq(), "base")
+    schema = (
+        "phase string, bucket_start timestamp, source string, "
+        "cnt long, sum_n_tok long"
+    )
+    if store.read("1h") is None:  # empty input: no lifecycle to run
+        full.unpersist()
+        shutil.rmtree(base_dir, ignore_errors=True)
+        return spark.createDataFrame([], schema)
+    store.create_branch("1h", "exp")
+    c1 = full.filter(F.hour("bucket_start") % 2 == 0).withColumn(
+        "cnt", F.col("cnt") + F.lit(50)
+    )
+    store.write_branch("1h", "exp", c1, "exp-1")
+    mid = full.filter(F.hour("bucket_start") % 3 == 0).withColumn(
+        "cnt", F.col("cnt") + F.lit(7)
+    )
+    store.append("1h", mid, store.next_commit_seq(), "mid-branch")
+    c2 = full.filter(F.hour("bucket_start") % 4 == 0).withColumn(
+        "cnt", F.col("cnt") + F.lit(200)
+    )
+    store.write_branch("1h", "exp", c2, "exp-2")
+    store.create_branch("1h", "bad")
+    store.write_branch(
+        "1h", "bad",
+        full.filter(F.col("source") == "src_hot").withColumn(
+            "cnt", F.col("cnt") + F.lit(999)
+        ),
+        "bad-1",
+    )
+    store.drop_branch("1h", "bad")
+    pre = store.read("1h", keys=("bucket_start", "source")).select(
+        F.lit("pre").alias("phase"), "bucket_start", "source", "cnt",
+        "sum_n_tok",
+    )
+    # pin the pre-merge horizon BEFORE the merge mutates visibility
+    # (reads are lazy; the merge below re-mints the chain's seqs)
+    pre = pre.localCheckpoint(eager=True)
+    store.merge_branch("1h", "exp")
+    post = store.read("1h", keys=("bucket_start", "source")).select(
+        F.lit("post").alias("phase"), "bucket_start", "source", "cnt",
+        "sum_n_tok",
+    )
+    out = pre.unionByName(post).localCheckpoint(eager=True)
+    full.unpersist()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out

@@ -515,18 +515,23 @@ class TierStore:
             self._write_compact_meta(meta)
 
     def _apply_staged(
-        self, df: DataFrame, tier: str, audit_seq: int | None
+        self, df: DataFrame, tier: str, audit_seq: int | None,
+        expose_seqs: frozenset | None = None,
     ) -> DataFrame:
         """Reader-side WAP semantics: published staged seqs are
         REMAPPED to their publish seq (before any as-of filter or
         dedup window, so the published rows order exactly like a fresh
         commit), every other staged seq is hidden — except
-        ``audit_seq``, which an :meth:`audit_read` exposes. Plain
-        column algebra on commit_seq; Catalyst folds the remap into
-        the scan projection."""
+        ``audit_seq`` (an :meth:`audit_read`) and ``expose_seqs`` (a
+        branch read's whole commit chain). Plain column algebra on
+        commit_seq; Catalyst folds the remap into the scan
+        projection."""
         staged = self._staged_entries(tier)
         if not staged:
             return df
+        exposed = set(expose_seqs or ())
+        if audit_seq is not None:
+            exposed.add(int(audit_seq))
         mapping = {
             int(e["seq"]): int(e["pub_seq"])
             for e in staged
@@ -535,7 +540,7 @@ class TierStore:
         hide = [
             int(e["seq"])
             for e in staged
-            if e["state"] != "published" and int(e["seq"]) != (audit_seq or -1)
+            if e["state"] != "published" and int(e["seq"]) not in exposed
         ]
         if mapping:
             expr = F.col("commit_seq")
@@ -595,6 +600,114 @@ class TierStore:
         if name not in refs:
             raise KeyError(f"unknown tag {name!r}; known: {sorted(refs)}")
         return refs[name]
+
+    # ---------- branches (writable refs) ----------
+    # An Iceberg branch is a DIVERGENT commit lineage: created at a
+    # base snapshot, it accumulates its own commits, invisible to main;
+    # main keeps moving underneath. Here a branch is a named CHAIN of
+    # staged commits plus the base seq it diverged at — the whole
+    # machinery (invisibility, crash repair, compaction carry, publish
+    # re-minting) is the WAP layer's, reused commit-for-commit:
+    # a branch write is `stage`, a branch read is main-as-of-base plus
+    # the chain exposed, and merging is an ordered cherry-pick of the
+    # chain onto main (`publish` per commit, fresh seqs in chain
+    # order). Multi-commit what-if pipelines — backfill candidates,
+    # reprocessing experiments — get audited as a unit and land as
+    # ordinary commits, or vanish without ever having been visible.
+
+    def branches(self, tier: str) -> dict[str, dict]:
+        """name → {"base_seq": int, "chain": [audit_id, ...]}."""
+        return dict(self._read_compact_meta().get(f"_branches_{tier}", {}))
+
+    def create_branch(self, tier: str, name: str) -> int:
+        """Start a branch at the CURRENT main state (its base snapshot).
+        Returns the base seq. Metadata-only; nothing is written."""
+        base = self.last_commit_seq()
+
+        def _mk(m, t=tier, n=name, b=base):
+            brs = m.setdefault(f"_branches_{t}", {})
+            if n in brs:
+                raise ValueError(f"tier {t!r}: branch {n!r} already exists")
+            brs[n] = {"base_seq": b, "chain": []}
+
+        self._update_meta(_mk)
+        return base
+
+    def write_branch(
+        self, tier: str, name: str, df: DataFrame, run_id: str
+    ) -> int:
+        """Append a commit to the branch: a staged (invisible-to-main)
+        commit recorded on the branch's chain. Within the branch,
+        later writes win newest-wins dedup over earlier ones (staged
+        seqs are minted in write order). Returns the staged seq."""
+        br = self.branches(tier).get(name)
+        if br is None:
+            raise KeyError(f"tier {tier!r}: no branch {name!r}")
+        audit_id = f"_br:{name}:{len(br['chain'])}:{uuid.uuid4().hex[:8]}"
+        seq = self.stage(tier, df, run_id, audit_id)
+        self._update_meta(
+            lambda m, t=tier, n=name, a=audit_id: m[f"_branches_{t}"][n][
+                "chain"
+            ].append(a)
+        )
+        return seq
+
+    def _branch_seqs(self, tier: str, name: str) -> tuple[int, list[int]]:
+        br = self.branches(tier).get(name)
+        if br is None:
+            raise KeyError(f"tier {tier!r}: no branch {name!r}")
+        by_audit = {e["audit_id"]: e for e in self._staged_entries(tier)}
+        seqs = [int(by_audit[a]["seq"]) for a in br["chain"] if a in by_audit]
+        return int(br["base_seq"]), seqs
+
+    def merge_branch(self, tier: str, name: str) -> list[int]:
+        """Cherry-pick the branch onto main: publish each chain commit
+        IN ORDER (each minting a fresh seq, so within-branch ordering
+        is preserved and the merge lands as ordinary new commits —
+        newest-wins, time travel and changelog cursors all see normal
+        appends). When main never advanced past the base this is
+        exactly Iceberg's fast-forward. The branch record is dropped;
+        returns the published seqs.
+
+        RESUMABLE: a crash mid-merge leaves a prefix of the chain
+        published (already live on main — publish is atomic per
+        commit) and the branch record intact; re-running skips the
+        published prefix and publishes the rest. Chain order is still
+        preserved: the prefix's pub seqs were minted before the
+        remainder's."""
+        br = self.branches(tier).get(name)
+        if br is None:
+            raise KeyError(f"tier {tier!r}: no branch {name!r}")
+        by_audit = {e["audit_id"]: e for e in self._staged_entries(tier)}
+        pubs = []
+        for a in br["chain"]:
+            e = by_audit.get(a)
+            if e is None:
+                # published by a crashed prior merge AND baked by a
+                # compaction since: its rows are live ordinary commits;
+                # nothing left to do (the pub seq is gone with the
+                # spent record, so it cannot be reported)
+                continue
+            if e["state"] == "published":
+                pubs.append(int(e["pub_seq"]))  # crashed prior merge
+            else:
+                pubs.append(self.publish(tier, a))
+        self._update_meta(
+            lambda m, t=tier, n=name: m[f"_branches_{t}"].pop(n, None)
+        )
+        return pubs
+
+    def drop_branch(self, tier: str, name: str) -> None:
+        """Abandon every chain commit and delete the branch. Its rows
+        were never visible; the next compaction drops them physically."""
+        br = self.branches(tier).get(name)
+        if br is None:
+            raise KeyError(f"tier {tier!r}: no branch {name!r}")
+        for a in br["chain"]:
+            self.abandon(tier, a)
+        self._update_meta(
+            lambda m, t=tier, n=name: m[f"_branches_{t}"].pop(n, None)
+        )
 
     # ---------- rollback ----------
     def _rollbacks_path(self) -> str:
@@ -1573,6 +1686,7 @@ class TierStore:
         as_of_seq: int | None = None,
         merge_schema: bool = False,
         ref: str | None = None,
+        branch: str | None = None,
         p_dates: list | None = None,
         sources: list | None = None,
         canonical_names: bool = False,
@@ -1619,6 +1733,12 @@ class TierStore:
         ``ref``: read as of a named tag (:meth:`tag`) — sugar for
         ``as_of_seq=self.resolve_ref(ref)``.
 
+        ``branch``: read a writable branch (:meth:`create_branch`) —
+        main as of the branch's base snapshot plus the branch's own
+        commit chain, newest-wins across both. Deletes/rollbacks
+        committed to main after the base do not affect the branch view
+        (the lineage diverged before them).
+
         ``p_dates``: restrict the scan to these partition dates —
         static partition pruning for callers that already know which
         dates can matter (``changes(prune_partitions=True)`` derives
@@ -1645,6 +1765,16 @@ class TierStore:
             if as_of_seq is not None:
                 raise ValueError("pass as_of_seq or ref, not both")
             as_of_seq = self.resolve_ref(ref)
+        branch_seqs: list[int] = []
+        if branch is not None:
+            # a branch read is main AS OF the branch's base snapshot
+            # (every snapshot guard below applies to the base) plus the
+            # branch's own commit chain exposed past that horizon
+            if as_of_seq is not None or ref is not None or audit_seq is not None:
+                raise ValueError(
+                    "branch reads cannot combine with as_of_seq/ref/audit_seq"
+                )
+            as_of_seq, branch_seqs = self._branch_seqs(tier, branch)
         path = self.tier_path(tier)
         if not os.path.isdir(path) or not any(
             p.startswith("p_date=") for p in os.listdir(path)
@@ -1693,7 +1823,10 @@ class TierStore:
             # published commit must order as the fresh commit it is
             # (_staged_raw: compact reads the physical truth and
             # handles staged rows itself)
-            df = self._apply_staged(df, tier, audit_seq)
+            df = self._apply_staged(
+                df, tier, audit_seq,
+                expose_seqs=frozenset(branch_seqs) if branch_seqs else None,
+            )
         if p_dates is not None:
             df = df.filter(F.col("p_date").isin([str(d) for d in p_dates]))
         if sources is not None:
@@ -1736,7 +1869,13 @@ class TierStore:
                         f"{floor_date} were dropped); pass p_dates >= "
                         f"{floor_date} to read the surviving dates of that state"
                     )
-            df = df.filter(F.col("commit_seq") <= int(as_of_seq))
+            cond = F.col("commit_seq") <= int(as_of_seq)
+            if branch_seqs:
+                # the branch's own commits sit PAST the base horizon by
+                # construction — admit exactly them (chain order = seq
+                # order, so within-branch newest-wins is already right)
+                cond = cond | F.col("commit_seq").isin(branch_seqs)
+            df = df.filter(cond)
         if not deduped:
             # the physical row-version view (compact / snapshots /
             # additive folds): equality deletes and rollbacks are NOT
@@ -2618,11 +2757,11 @@ class TierStore:
             # full expiry physically applied EVERY recorded column drop
             # — snapshots older than the newest drop no longer show the
             # dropped column, so the horizon must cover it
-            drop_seqs = [
+            schema_drop_seqs = [
                 o["seq"] for o in self._schema_ops(tier) if o["kind"] == "drop"
             ]
-            if drop_seqs:
-                new_horizon = max(new_horizon, max(drop_seqs))
+            if schema_drop_seqs:
+                new_horizon = max(new_horizon, max(schema_drop_seqs))
         # Record the horizon BEFORE the destructive swap (review fix):
         # a crash mid-swap may already have expired history, and an
         # unrecorded horizon would let read(as_of_seq=...) silently
@@ -2650,11 +2789,15 @@ class TierStore:
             os.rename(os.path.join(tmp, part), dpart)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp)
-        if deletes_applied or rollback_applied:
-            # a partition whose every row was masked (or voided by a
-            # rollback) is absent from the rewrite — its live dir must
-            # go too (aside-then-delete, the same crash discipline as
-            # the swap). ONLY under an applied delete/rollback: in any
+        if deletes_applied or rollback_applied or drop_seqs:
+            # a partition whose every row was masked (voided by a
+            # rollback, or belonging only to ABANDONED stages) is absent
+            # from the rewrite — its live dir must go too
+            # (aside-then-delete, the same crash discipline as the
+            # swap). Without this, a partition created solely by an
+            # abandoned stage would survive the rewrite while its
+            # staged record is GC'd below — resurrecting never-visible
+            # rows. ONLY under applied delete/rollback/abandon: in any
             # other mode a live partition missing from tmp would signal
             # a bug, and destroying it silently is the one thing
             # compact must never do.
