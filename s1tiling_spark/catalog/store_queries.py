@@ -466,3 +466,63 @@ def branch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     full.unpersist()
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+_MERGE_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE} "
+    f"SELECT {bucket_sql('event_ts', '1h')} AS bucket_start, source, "
+    "CAST(count(*) + 10 AS BIGINT) AS cnt, "
+    "CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+    "FROM sequences WHERE source <> 'src19' GROUP BY 1, 2"
+)
+
+
+@register("merge_into_sync", oracle=_MERGE_ORACLE)
+def merge_into_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — MERGE INTO (matched-update +
+    unmatched-insert + not-matched-by-source delete) against a DuckDB
+    oracle of the synced snapshot. The lifecycle exercises all three
+    clauses at once:
+
+    1. base append: the 1h rollup MINUS src0 (so the source snapshot
+       has genuinely new keys to INSERT);
+    2. source snapshot: the full rollup minus src19, every cnt+10
+       (UPDATEs src1..src18, INSERTs src0);
+    3. ``merge_into(delete_unmatched=True)``: src19 — present in the
+       base, absent from the source — is equality-DELETED.
+
+    Final state must equal the source snapshot exactly; a missed
+    insert, a stale un-updated cnt, or a surviving src19 row each
+    breaks the hash."""
+    seq = sequences_from_documents(spark, sf_dir)
+    base_dir = tempfile.mkdtemp(prefix="s1ts_merge_gate_")
+    store = TierStore(spark, base_dir)
+    full = (
+        rollup_sequences(seq, "1h")
+        .select("bucket_start", "source", "cnt", "sum_n_tok")
+        .persist()
+    )
+    store.append(
+        "1h",
+        full.filter(F.col("source") != "src0"),
+        store.next_commit_seq(),
+        "base",
+    )
+    snapshot = full.filter(F.col("source") != "src19").withColumn(
+        "cnt", F.col("cnt") + F.lit(10)
+    )
+    store.merge_into("1h", snapshot, "sync-1", delete_unmatched=True)
+    view = store.read("1h", keys=("bucket_start", "source"))
+    if view is None:  # empty input: nothing was ever appended
+        out = spark.createDataFrame(
+            [], "bucket_start timestamp, source string, cnt long, sum_n_tok long"
+        )
+    else:
+        out = (
+            view.select("bucket_start", "source", "cnt", "sum_n_tok")
+            # per-call scratch store: pin rows off its files before rmtree
+            .localCheckpoint(eager=True)
+        )
+    full.unpersist()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out

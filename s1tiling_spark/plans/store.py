@@ -1306,6 +1306,85 @@ class TierStore:
             )
         return df
 
+    def merge_into(
+        self,
+        tier: str,
+        source: DataFrame,
+        run_id: str,
+        keys: tuple[str, ...] = DEFAULT_KEYS,
+        delete_unmatched: bool = False,
+    ) -> dict:
+        """MERGE INTO analog over the append-only commit model.
+
+        ``WHEN MATCHED THEN UPDATE`` + ``WHEN NOT MATCHED THEN INSERT``
+        is exactly ONE newest-wins append — no target scan, no rewrite:
+        the source rows mint a fresh commit and the dedup-on-read
+        window serves them over every older version of the same key
+        (Iceberg needs copy-on-write or positional deletes here; the
+        seq-versioned model gets both clauses for free).
+
+        ``delete_unmatched=True`` adds ``WHEN NOT MATCHED BY SOURCE
+        THEN DELETE`` — sync the tier to the source snapshot: current
+        keys ABSENT from the source are equality-deleted (victims are
+        planned against the pre-merge state, so the just-appended keys
+        can never be victims; they are source keys by construction).
+
+        Ordering is append-FIRST, the backfill discipline
+        (plans/backfill.py): a crash between the two commits leaves
+        unmatched keys stale-but-present — never a masked-empty window
+        — and re-running the merge heals (the duplicate append is
+        absorbed by newest-wins, the delete completes the sync).
+
+        Returns {"appended_rows", "deleted_keys", "append_seq",
+        "delete_seq"} (delete fields None unless a delete committed).
+
+        Reference analog: the reference re-runs a tile's product set
+        and removes obsolete outputs of the previous run
+        (`/root/reference/s1tiling/libs/S1FileManager.py:735-748`) —
+        here as one transactional-enough table sync."""
+        current = self.read(tier, keys=keys)
+        victims = None
+        if delete_unmatched and current is not None:
+            victims = current.select(*keys).join(
+                source.select(*keys).distinct(), list(keys), "left_anti"
+            )
+        append_seq = self.next_commit_seq()
+        appended = self.append(tier, source, append_seq, run_id)
+        out = {
+            "appended_rows": appended,
+            "deleted_keys": None,
+            "append_seq": append_seq,
+            "delete_seq": None,
+        }
+        if victims is not None:
+            delete_seq = self.next_commit_seq()
+            out["deleted_keys"] = self.delete(
+                tier, victims, delete_seq, run_id, keys=keys
+            )
+            out["delete_seq"] = delete_seq
+        return out
+
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        """True iff some ``p_date=`` partition holds ≥1 parquet file.
+        Partition dirs can exist EMPTY — a torn keyed commit whose
+        files the replay repair removed, or a crash between mkdir and
+        the file moves — and schema inference over zero files raises
+        (UNABLE_TO_INFER_SCHEMA) where the table is semantically just
+        empty. Short-circuits on the first file, so a live table pays
+        one listdir; only the genuinely-empty table walks every dir."""
+        for p in os.listdir(path):
+            if not p.startswith("p_date="):
+                continue
+            d = os.path.join(path, p)
+            try:
+                names = os.listdir(d)
+            except OSError:
+                continue
+            if any(fn.endswith(".parquet") for fn in names):
+                return True
+        return False
+
     # ---------- data ----------
     def _committed_key_path(self, tier: str, key: str) -> str:
         safe = key.replace("/", "_").replace("=", "~")
@@ -1776,9 +1855,7 @@ class TierStore:
                 )
             as_of_seq, branch_seqs = self._branch_seqs(tier, branch)
         path = self.tier_path(tier)
-        if not os.path.isdir(path) or not any(
-            p.startswith("p_date=") for p in os.listdir(path)
-        ):
+        if not os.path.isdir(path) or not self._has_data_files(path):
             return None
         # ops fully below the compaction horizon are physically baked in
         # (compact rewrites canonical names / applied drops), so reads

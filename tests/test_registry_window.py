@@ -34,6 +34,9 @@ EXTRAS = {
     "ewma_smooth",
     "holt_winters_smooth",
     "quantile_over_time_1d",
+    "source_pruned_read",
+    "branch_merge_lifecycle",
+    "merge_into_sync",
 }
 WINDOW = 50
 
