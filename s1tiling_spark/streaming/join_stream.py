@@ -51,6 +51,7 @@ def streaming_calibration_join(
     watermark: str = "10 minutes",
     validity: str = "1 hour",
     reader_options: dict | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Sequences joined to the calibration row whose validity window
     ``[valid_from, valid_from + validity)`` covers their ``event_ts``
@@ -58,6 +59,27 @@ def streaming_calibration_join(
     row is held in state until the calibration watermark passes its
     bound, then dropped — exactly the batch inner-join semantics, which
     is what the convergence test asserts.
+
+    ``how="left_outer"``: the production no-silent-drop variant —
+    a sequence whose calibration never arrives EMITS once the
+    calibration-side watermark proves no match can still come, with
+    ``gain``/``cal_n_tok`` NULL (the streaming analog of the mosaic
+    first-non-null fallback: downstream sees the row either way and
+    NULL marks it uncalibrated). Matched rows are identical to the
+    inner join; the null-emission time is watermark-driven, so a
+    bounded replay emits exactly the rows whose join bound the final
+    watermark passed (asserted in the test).
+
+    OPERATIONAL REQUIREMENT (outer mode): Spark's multi-stream
+    watermark is the MIN across watermarked inputs, and on a query
+    restart each input's watermark is recomputed from the data that
+    run sees (floored by the restored global) — an IDLE calibration
+    stream therefore pins the global watermark and stalls null
+    emission indefinitely (measured across availableNow restarts). A
+    production deployment must keep the calibration side flowing
+    (periodic heartbeat rows are enough), or opt into
+    ``spark.sql.streaming.multipleWatermarkPolicy=max`` and accept
+    the late-drop trade on the slower stream.
 
     Emits the calibrated row: sequence columns + ``gain`` +
     ``cal_n_tok = round(n_tok * gain)`` (bigint — exact integer
@@ -89,7 +111,7 @@ def streaming_calibration_join(
             "AND s.event_ts >= c.valid_from "
             f"AND s.event_ts < c.valid_from + INTERVAL {validity}"
         ),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("s.doc_id").alias("doc_id"),
@@ -110,12 +132,14 @@ def run_calibration_join_stream(
     watermark: str = "10 minutes",
     validity: str = "1 hour",
     available_now: bool = True,
+    how: str = "inner",
 ):
     """Drive the join to a parquet sink (append mode — stream-stream
     inner joins emit each match exactly once, so the sink accretes the
     exact join result across restarts via the checkpoint)."""
     joined = streaming_calibration_join(
-        spark, seq_landing, cal_landing, watermark=watermark, validity=validity
+        spark, seq_landing, cal_landing, watermark=watermark,
+        validity=validity, how=how,
     )
     writer = (
         joined.writeStream.format("parquet")
