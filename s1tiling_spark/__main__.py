@@ -182,6 +182,23 @@ def main(argv: list[str] | None = None) -> int:
         "--show", type=int, default=20, help="rows to print (read)"
     )
 
+    mrg = sub.add_parser(
+        "merge",
+        help="MERGE INTO a tier: matched-update + unmatched-insert "
+        "(newest-wins append), optional not-matched-by-source delete",
+    )
+    mrg.add_argument("--store", required=True)
+    mrg.add_argument("--tier", required=True)
+    mrg.add_argument("--input", required=True, help="source snapshot parquet dir")
+    mrg.add_argument(
+        "--keys", default=None,
+        help="comma-separated natural key (default bucket_start,source)",
+    )
+    mrg.add_argument(
+        "--sync", action="store_true",
+        help="also delete tier keys absent from the source (snapshot sync)",
+    )
+
     vidx = sub.add_parser("index", help="persistent ANN index lifecycle")
     vidx.add_argument("action", choices=("build", "append", "status", "compact"))
     vidx.add_argument("--index", required=True, help="index base dir")
@@ -336,6 +353,23 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 store.abandon(args.tier, args.audit_id)
                 print(json.dumps({"audit_id": args.audit_id, "abandoned": True}))
+        elif args.cmd == "merge":
+            from s1tiling_spark.plans.store import DEFAULT_KEYS, TierStore, new_run_id
+
+            store = TierStore(spark, args.store)
+            keys = (
+                tuple(c.strip() for c in args.keys.split(",") if c.strip())
+                if args.keys
+                else DEFAULT_KEYS
+            )
+            res = store.merge_into(
+                args.tier,
+                spark.read.parquet(args.input),
+                new_run_id(),
+                keys=keys,
+                delete_unmatched=args.sync,
+            )
+            print(json.dumps(res))
         elif args.cmd == "branch":
             from s1tiling_spark.plans.store import TierStore, new_run_id
 

@@ -526,3 +526,76 @@ def merge_into_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     full.unpersist()
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+_IVJOIN_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE}, "
+    "cal AS ("
+    "  SELECT DISTINCT source, "
+    "    CAST(floor(epoch(event_ts) / 7200) AS BIGINT) AS w2h "
+    "  FROM sequences"
+    "), calk AS ("
+    "  SELECT source, to_timestamp(w2h * 7200) AS valid_from, "
+    "    1 + (w2h % 16) / 16.0 AS gain "
+    "  FROM cal WHERE w2h % 2 = 0"
+    ") "
+    "SELECT s.doc_id, s.source, s.event_ts, s.n_tok, c.gain, "
+    "CAST(floor(s.n_tok * c.gain) AS BIGINT) AS cal_n_tok "
+    "FROM sequences s JOIN calk c ON s.source = c.source "
+    "AND s.event_ts >= c.valid_from "
+    "AND s.event_ts < c.valid_from + INTERVAL 2 HOUR"
+)
+
+
+@register("interval_join_calibration", oracle=_IVJOIN_ORACLE)
+def interval_join_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — event-time INTERVAL JOIN, the batch twin
+    of `streaming/join_stream.py`: sequences join the calibration row
+    whose 2h validity window covers their event time (same source).
+    Only every other 2h window is calibrated (w2h even), so half the
+    windows genuinely drop — the interval condition, not a plain
+    equi-join, decides membership. The gain is a dyadic rational of
+    the window index and the applied value uses floor(), so both
+    engines produce bit-identical doubles and exact BIGINTs.
+
+    Plan shape: equality on source + range condition — Catalyst runs
+    the equi-part as the join key and the range as a join predicate
+    (no cartesian). At 10^12 rows the calibration side is tiny
+    (windows x sources) and broadcasts.
+
+    Reference analog: per-(tile, orbit) LIA map applied to every
+    sigma0 product in its validity scope
+    (`/root/reference/s1tiling/libs/otbwrappers/lia.py:1540-1620`)."""
+    seq = sequences_from_documents(spark, sf_dir)
+    w2h = F.floor(F.unix_timestamp("event_ts") / 7200).cast("long")
+    cal = (
+        seq.select("source", w2h.alias("w2h"))
+        .distinct()
+        .filter(F.col("w2h") % 2 == 0)
+        .select(
+            "source",
+            F.timestamp_seconds(F.col("w2h") * 7200).alias("valid_from"),
+            (F.lit(1.0) + (F.col("w2h") % 16) / F.lit(16.0)).alias("gain"),
+        )
+    )
+    return (
+        seq.alias("s")
+        .join(
+            F.broadcast(cal).alias("c"),
+            F.expr(
+                "s.source = c.source AND s.event_ts >= c.valid_from "
+                "AND s.event_ts < c.valid_from + INTERVAL 2 HOUR"
+            ),
+            "inner",
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.source").alias("source"),
+            F.col("s.event_ts").alias("event_ts"),
+            F.col("s.n_tok").alias("n_tok"),
+            F.col("c.gain").alias("gain"),
+            F.floor(F.col("s.n_tok") * F.col("c.gain"))
+            .cast("long")
+            .alias("cal_n_tok"),
+        )
+    )

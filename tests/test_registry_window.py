@@ -37,6 +37,7 @@ EXTRAS = {
     "source_pruned_read",
     "branch_merge_lifecycle",
     "merge_into_sync",
+    "interval_join_calibration",
 }
 WINDOW = 50
 
