@@ -99,6 +99,14 @@ AUDITS = {
         "the offset-1d fetch is a degenerate RANGE frame, not a "
         "self-join: ONE exchange, no join operator anywhere",
     ),
+    "interval_join_calibration": (
+        ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
+        "interval join = equality on source + 2h range predicate: the "
+        "tiny calibration side (windows x sources) must broadcast and "
+        "the range must ride the hash join as a post-condition — never "
+        "a sort-merge of the raw table or a nested-loop/cartesian",
+    ),
 }
 
 
