@@ -2248,13 +2248,24 @@ class TierStore:
         # voided by a rollback older than to_eff is correctly ignored
         # while one the rollback does not reach still touches its keys
         for dkeys, dels in self._delete_groups(tier, to_eff):
-            # group-level deletes (key prefix) touch every row of the
-            # group — expand through a semi-join against the raw keys,
-            # per delete key set (mixed key sets never share one join)
-            touched = touched.unionByName(
-                raw.join(dels.filter(in_range).select(*dkeys), dkeys, "leftsemi")
-                .select(*keys)
-            )
+            if set(keys) <= set(dkeys):
+                # row-level deletes (key set covers the changelog keys)
+                # name their touched keys directly — the delete file IS
+                # the touched set, no table scan. A named key with no
+                # live row is harmless: both as-of states are empty for
+                # it, so the diff emits nothing.
+                touched = touched.unionByName(
+                    dels.filter(in_range).select(*keys)
+                )
+            else:
+                # group-level deletes (key prefix) touch every row of
+                # the group — expand through a semi-join against the raw
+                # keys, per delete key set (mixed key sets never share
+                # one join)
+                touched = touched.unionByName(
+                    raw.join(dels.filter(in_range).select(*dkeys), dkeys, "leftsemi")
+                    .select(*keys)
+                )
         # a rollback whose horizon crossing lands inside (from, to]
         # (mask off at `from`, on at `to`) touches every key with a
         # voided data version OR a voided delete — those commits can be
@@ -2272,11 +2283,16 @@ class TierStore:
                 voided = (F.col("commit_seq") > lo) & (F.col("commit_seq") <= hi)
                 touched = touched.unionByName(raw.filter(voided).select(*keys))
                 for dkeys, dels in unmasked_groups:
-                    touched = touched.unionByName(
-                        raw.join(
-                            dels.filter(voided).select(*dkeys), dkeys, "leftsemi"
-                        ).select(*keys)
-                    )
+                    if set(keys) <= set(dkeys):
+                        touched = touched.unionByName(
+                            dels.filter(voided).select(*keys)
+                        )
+                    else:
+                        touched = touched.unionByName(
+                            raw.join(
+                                dels.filter(voided).select(*dkeys), dkeys, "leftsemi"
+                            ).select(*keys)
+                        )
         touched = touched.distinct()
         p_dates = None
         if prune_partitions:

@@ -508,3 +508,39 @@ def test_partitions_metadata_summary(spark, seq, tmp_path):
     assert all(p["n_files"] == 1 for p in parts2)
     assert sum(p["rows"] for p in parts2) == full.count()
     assert all(p["seq_min"] == s2 and p["seq_max"] == s2 for p in parts2)
+
+
+def test_changes_group_delete_prefix_expands_touched_keys(spark, seq, tmp_path):
+    """A GROUP delete (key-prefix file: just ``source``) must surface in
+    the changelog as one delete row per (bucket_start, source) key of
+    the group — the touched-key expansion has to go through the table
+    scan because the delete file does not carry ``bucket_start``.
+    (Row-level deletes take a direct path: the delete rows ARE the
+    touched keys — this test pins the OTHER branch.) Pruned and
+    unpruned changelogs must agree through it."""
+    store = TierStore(spark, str(tmp_path / "grp_ch"))
+    full = rollup_sequences(seq, "1d").cache()
+    s1 = store.next_commit_seq()
+    store.append("1d", full, s1, "run-1")
+    n_hot = full.filter(F.col("source") == "src_hot").count()
+    assert n_hot > 1  # a group, not a single row
+    s2 = store.next_commit_seq()
+    store.delete(
+        "1d",
+        spark.createDataFrame([("src_hot",)], "source string"),
+        s2,
+        "run-grp-del",
+        keys=("source",),
+    )
+    kw = dict(from_seq=s1, split_updates=True)
+    pruned = store.changes("1d", prune_partitions=True, **kw).toPandas()
+    unpruned = store.changes("1d", prune_partitions=False, **kw).toPandas()
+    key_cols = ["op", "bucket_start", "source"]
+    assert_frames_match(
+        pruned.sort_values(key_cols).reset_index(drop=True),
+        unpruned.sort_values(key_cols).reset_index(drop=True),
+    )
+    # every key of the group is a delete row; nothing else changed
+    assert set(pruned["op"]) == {"delete"}
+    assert set(pruned["source"]) == {"src_hot"}
+    assert len(pruned) == n_hot
