@@ -256,15 +256,47 @@ def main() -> None:
         "cascade_output_rows": cascade["output_rows"],
         "retried": sorted(n for n in samples if n != "tier_cascade"),
     }
-    # full detail (all best-of-2 samples, config) — the compact stdout
-    # line must fit the driver's 2000-char tail window (BENCH_r02's
-    # "parsed": null was this line overflowing it)
-    detail = dict(out)
-    detail["samples"] = samples
-    detail["cascade_input_rows"] = cascade["input_rows"]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    # BENCH_DETAIL.json is the retry policy's prior-best table, NOT a
+    # plain dump of this run: its "queries" fold per-query bests across
+    # runs (min of prior best and this run) so one degraded host window
+    # (PERF.md §27/§28: byte-identical code measuring 1.5-4x slow) can
+    # never poison the 1.4x retry baseline; "latest_run" carries this
+    # run as measured, samples included. The stdout line stays the
+    # honest current run. Cascade-only runs (scaling_bench sets
+    # SPARK_GRAFT_BENCH_ONLY=cascade) must not touch the file at all:
+    # that clobbered the full-registry detail with a single entry.
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cascade":
+        folded = dict(prior_best)
+        for name, sec in queries.items():
+            folded[name] = min(folded.get(name, float("inf")), sec)
+        # drop prior entries for queries no longer registered
+        folded = {n: s for n, s in folded.items() if n in queries}
+        detail = {
+            "metric": out["metric"],
+            "note": (
+                "queries = per-query committed bests folded across runs "
+                "(the bench retry policy's prior-best table, PERF.md "
+                "§27-29); latest_run = the most recent full run as "
+                "measured, with all best-of-2 samples"
+            ),
+            "value": round(sum(folded.values()), 2),
+            "unit": "sec",
+            "queries": folded,
+            "sf": out["sf"],
+            "cpus": cpus,
+            "bench_rows": BENCH_ROWS,
+            "cascade_input_rows": cascade["input_rows"],
+            "latest_run": {
+                "value": out["value"],
+                "points_per_sec": out["points_per_sec"],
+                "queries": queries,
+                "samples": samples,
+                "retried": out["retried"],
+            },
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
     spark.stop()
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:

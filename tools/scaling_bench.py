@@ -287,28 +287,55 @@ def main() -> None:
     with open(os.path.join(REPO, fname), "w") as f:
         json.dump(summary, f, indent=2)
 
-    # refresh BASELINE.md results section
+    _refresh_baseline_md()
+
+
+def _mode_block(summary: dict) -> str:
+    mode = summary["mode"]
+    lo, hi = summary["levels"]
+    primary = mode == "compute"
+    desc = (
+        "CPU-bound stats cascade + LOCF, no I/O — the ENGINE's "
+        "aggregation/window scaling, the committed methodology"
+        if mode == "compute"
+        else "full flagship incl. the parquet token scan, whose "
+        "single-file nested-decode path this host does not scale "
+        "(PERF.md §6) — a lower bound, reported for honesty"
+    )
+    return f"""
+Mode **{mode}**{' (PRIMARY)' if primary else ''} ({desc};
+{summary['rows']} rows) at two parallelism levels on identical input
+(`python tools/scaling_bench.py --mode {mode}`):
+
+| parallelism | throughput (rolled-up points/sec) | cascade wall time |
+|---|---|---|
+| local[{lo}]  (N)  | {summary['throughput_local8_pps']:,.0f} | {summary['cascade_sec_local8']} s |
+| local[{hi}] (4N) | {summary['throughput_local32_pps']:,.0f} | {summary['cascade_sec_local32']} s |
+
+Speedup {lo}→{hi}: **{summary['speedup_8_to_32']}×**; scaling efficiency
+(speedup/4): **{summary['scaling_efficiency']}** (target ≥ 0.8).
+"""
+
+
+def _refresh_baseline_md() -> None:
+    """Rewrite BASELINE.md's results section from BOTH mode files, so a
+    run of one mode never clobbers the other's table (a cascade rerun
+    used to replace the committed compute evidence wholesale)."""
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as f:
         content = f.read()
     if MARKER in content:
         content = content[: content.index(MARKER)].rstrip() + "\n"
+    blocks = []
+    for fname in ("BENCH_SCALING_COMPUTE.json", "BENCH_SCALING.json"):
+        fp = os.path.join(REPO, fname)
+        if os.path.exists(fp):
+            with open(fp) as f:
+                blocks.append(_mode_block(json.load(f)))
     section = f"""
 {MARKER}
-
-Mode **{args.mode}** ({'full flagship incl. parquet token scan' if args.mode == 'cascade' else 'CPU-bound stats cascade + LOCF, no I/O'};
-{args.rows} rows) at two parallelism levels on identical input
-(`python tools/scaling_bench.py --mode {args.mode}`):
-
-| parallelism | throughput (rolled-up points/sec) | cascade wall time |
-|---|---|---|
-| local[{lo}]  (N)  | {pps8:,.0f} | {summary['cascade_sec_local8']} s |
-| local[{hi}] (4N) | {pps32:,.0f} | {summary['cascade_sec_local32']} s |
-
-Speedup {lo}→{hi}: **{summary['speedup_8_to_32']}×**; scaling efficiency
-(speedup/4): **{summary['scaling_efficiency']}** (target ≥ 0.8).
-
-Levels are {lo}/{hi} rather than 8/32 because this shared host cannot
+{''.join(blocks)}
+Levels are 1/4 rather than 8/32 because this shared host cannot
 realize more than ~8 threads of JVM work (verified three ways — see
 tools/scaling_bench.py docstring); 2→8 measures the job's scaling
 inside the host's usable range. The engine itself is shuffle-partitioned
