@@ -80,6 +80,20 @@ def _prepared(emb: DataFrame) -> DataFrame:
     ).withColumn("nrm", int_dot(F.col("qv"), F.col("qv")))
 
 
+def _corpus_rows(emb: DataFrame, prep: DataFrame) -> int:
+    """Corpus size for scale-parameter derivation (ANN key width, IVF
+    cell count): parquet footers when the input is file-backed (driver
+    metadata, zero Spark jobs — the footer sum upper-bounds the true
+    count, which only rounds the derived parameter conservatively), a
+    count() job on the persisted prep otherwise. The count() fallback
+    intentionally runs on PREP (warming the relation every later stage
+    reads), not on emb."""
+    from s1tiling_spark.sources.tables import footer_rows_upper_bound
+
+    n = footer_rows_upper_bound(emb)
+    return n if n is not None else prep.count()
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 5, query_mod: int = 50
 ) -> DataFrame:
@@ -613,15 +627,16 @@ def ivf_topk(
     any parallelism.
 
     NOTE: with ``n_cells=None`` (the scale-parameterized default),
-    deriving n_cells runs ONE count() job over the prepared corpus at
-    plan-construction time (it also warms the persisted relation every
-    later stage reads) — plan-only consumers pay that single scan; pin
-    ``n_cells`` to stay fully lazy.
+    n_cells derives from the input's parquet FOOTERS when the plan is
+    file-backed (driver-side metadata, no job — an upper bound on N is
+    recall-safe: marginally more cells, same nprobe); only a
+    non-file-backed input falls back to ONE count() job at
+    plan-construction time. Pin ``n_cells`` to stay fully lazy always.
     """
     prep = _persist(_prepared(emb))
     if cents is None:
         if n_cells is None:
-            n_cells = max(4, math.isqrt(prep.count()))
+            n_cells = max(4, math.isqrt(_corpus_rows(emb, prep)))
         cents = ivf_codebook(prep, n_cells)
         if refine_iters:
             cents = kmeans_refine(prep, cents, iters=refine_iters)
@@ -698,14 +713,16 @@ def ann_lsh_topk(
     Candidates carry only ids through the join; vectors re-attach for
     the exact re-rank.
 
-    NOTE: with ``r=None`` (the scale-parameterized default), deriving r
-    runs ONE count() job over the prepared corpus at plan-construction
-    time (it also warms the persisted relation every later stage
-    reads) — plan-only consumers pay that single scan; pin ``r`` to
-    stay fully lazy."""
+    NOTE: with ``r=None`` (the scale-parameterized default), r derives
+    from the input's parquet FOOTERS when the plan is file-backed
+    (driver-side metadata, no job — the footer sum is an upper bound on
+    N, which only widens keys: smaller buckets, recall recovered by
+    multiprobe); only a non-file-backed input falls back to ONE
+    count() job at plan-construction time. Pin ``r`` to stay fully
+    lazy always."""
     prep = _persist(_prepared(emb))
     if r is None:
-        r = derive_r(prep.count(), target_bucket)
+        r = derive_r(_corpus_rows(emb, prep), target_bucket)
     cand = ann_lsh_candidates(prep, query_mod, bands, r, multiprobe)
     return _rerank_topk(cand, prep, k)
 

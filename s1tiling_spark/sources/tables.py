@@ -75,3 +75,33 @@ def parquet_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
             f"no parquet footers under {path!r} — cannot derive row count"
         )
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def footer_rows_upper_bound(df) -> int | None:
+    """Driver-side row-count UPPER BOUND for a parquet-backed DataFrame,
+    from the footers of ``df.inputFiles()`` — no Spark job. Filters or
+    dedup applied after the scan make the true count smaller, never
+    larger, so the bound is safe wherever the consumer only needs a
+    scale parameter that may round conservatively UP (ANN key width,
+    IVF cell count: a slightly-too-large N means slightly narrower
+    buckets / more cells, both recall-safe with multiprobe / nprobe).
+
+    Returns None when the plan is not file-backed (createDataFrame,
+    streaming) or any input is not parquet — callers fall back to a
+    count() job. ``inputFiles()`` is metadata-only: Spark resolves it
+    from the already-analyzed logical plan's FileIndex, no tasks run.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.split("?", 1)[0].endswith(".parquet"):
+            return None
+        total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+    return total
