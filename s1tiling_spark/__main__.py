@@ -345,7 +345,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"audit_id": args.audit_id, "staged_seq": seq}))
             elif args.action == "audit":
                 df = store.audit_read(args.tier, args.audit_id)
-                for row in df.limit(args.show).collect():
+                rows = [] if df is None else df.limit(args.show).collect()
+                for row in rows:
                     print(json.dumps(row.asDict(), default=str))
             elif args.action == "publish":
                 pub = store.publish(args.tier, args.audit_id)
@@ -391,7 +392,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"branch": args.name, "staged_seq": seq}))
             elif args.action == "read":
                 df = store.read(args.tier, branch=args.name)
-                for row in df.limit(args.show).collect():
+                rows = [] if df is None else df.limit(args.show).collect()
+                for row in rows:
                     print(json.dumps(row.asDict(), default=str))
             elif args.action == "merge":
                 pubs = store.merge_branch(args.tier, args.name)

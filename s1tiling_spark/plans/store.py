@@ -118,12 +118,36 @@ class TierStore:
     #    competing maintenance does not queue — it raises
     #    ConcurrentCommitError and retries its next cycle.
     # Stale-break: a lock older than its threshold belongs to a crashed
-    # holder and is removed. The stat-then-unlink has a theoretical
-    # double-break race (two waiters both unlink); its consequence is
-    # falling back to the pre-lock behavior for one critical section,
-    # and the thresholds (minutes/hours) make the window unreachable
-    # in practice. A real deployment upgrades this to an Iceberg
-    # catalog's CAS; every call site is already shaped for that swap.
+    # holder. Breaking is RENAME-to-tombstone, not stat-then-unlink: a
+    # rename succeeds for exactly one waiter (the loser's raises), so
+    # two waiters can never double-break — the failure mode where B,
+    # having statted the crashed holder's lock, unlinks the fresh lock
+    # A just re-acquired, admitting a third writer into the critical
+    # section. The winner re-checks staleness on the TOMBSTONE (the
+    # authoritative identity — what it actually claimed); a live lock
+    # claimed by mistake is re-instated via link(), which cannot
+    # clobber a newer acquirer. A real deployment upgrades this to an
+    # Iceberg catalog's CAS; every call site is shaped for that swap.
+
+    @staticmethod
+    def _break_stale_lock(path: str, stale_s: float) -> None:
+        tomb = f"{path}.tomb.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, tomb)
+        except OSError:
+            return  # another waiter claimed the break — retry acquire
+        try:
+            still_stale = (time.time() - os.path.getmtime(tomb)) > stale_s
+        except OSError:
+            return
+        if not still_stale:
+            # the holder changed identity between our stat and the
+            # rename — we stole a LIVE lock; put it back (link fails
+            # harmlessly if someone already re-acquired)
+            with contextlib.suppress(OSError):
+                os.link(tomb, path)
+        with contextlib.suppress(OSError):
+            os.unlink(tomb)
 
     @contextlib.contextmanager
     def _meta_mutex(self, timeout_s: float = 60.0):
@@ -141,8 +165,7 @@ class TierStore:
                 except OSError:
                     continue  # holder released between open and stat
                 if age > META_MUTEX_STALE_S:
-                    with contextlib.suppress(OSError):
-                        os.unlink(path)
+                    self._break_stale_lock(path, META_MUTEX_STALE_S)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -182,8 +205,7 @@ class TierStore:
                 except OSError:
                     continue
                 if age > STAGING_GC_AGE_S:
-                    with contextlib.suppress(OSError):
-                        os.unlink(path)
+                    self._break_stale_lock(path, STAGING_GC_AGE_S)
                     continue
                 raise ConcurrentCommitError(
                     f"tier {tier!r}: maintenance already running "
@@ -699,11 +721,22 @@ class TierStore:
 
     def drop_branch(self, tier: str, name: str) -> None:
         """Abandon every chain commit and delete the branch. Its rows
-        were never visible; the next compaction drops them physically."""
+        were never visible; the next compaction drops them physically.
+
+        Tolerant of residue so a drop always succeeds: a chain entry
+        already GC'd (a crashed write_branch whose staging record
+        compaction collected) is skipped, as is one already abandoned
+        (a crashed prior drop) or already published (a crashed prior
+        merge — its rows are live ordinary commits on main; dropping
+        the branch cannot and must not unpublish them — use rollback)."""
         br = self.branches(tier).get(name)
         if br is None:
             raise KeyError(f"tier {tier!r}: no branch {name!r}")
+        by_audit = {e["audit_id"]: e for e in self._staged_entries(tier)}
         for a in br["chain"]:
+            e = by_audit.get(a)
+            if e is None or e["state"] in ("published", "abandoned"):
+                continue
             self.abandon(tier, a)
         self._update_meta(
             lambda m, t=tier, n=name: m[f"_branches_{t}"].pop(n, None)
@@ -1625,18 +1658,29 @@ class TierStore:
             return None
         return keep
 
+    def _bounds_sidecar_path(self, tier: str) -> str:
+        return os.path.join(self.base_dir, f"_filebounds_{tier}.jsonl")
+
     def _record_file_bounds(self, tier: str, rel_paths: list[str]) -> None:
         """Record per-file ``source`` min/max bounds for freshly
         committed data files (the Iceberg manifest column-bounds
         analog, ``lower_bounds``/``upper_bounds``): the WRITER pays one
         local footer read per file it just wrote — O(its own commit),
         never a table-wide listing — and reads get
-        :meth:`_plan_source_files` file skipping forever after. Purely
-        advisory metadata: a file with no entry is always scanned."""
+        :meth:`_plan_source_files` file skipping forever after.
+
+        Written as ONE O_APPEND write to a per-tier JSONL sidecar, not
+        a rewrite of the whole compact-meta JSON: the meta rewrite made
+        each micro-batch append pay O(all files since last compaction)
+        in metadata I/O (O(N²) cumulative for a streaming sink).
+        Compaction folds the sidecar back into the meta baseline and
+        truncates it. Purely advisory at every step: a file with no
+        entry (torn line, line lost to a crash, entry raced past a
+        concurrent rebuild) is conservatively scanned, never wrong."""
         import pyarrow.parquet as pq
 
         dest = self.tier_path(tier)
-        entries: dict[str, list] = {}
+        lines: list[str] = []
         for rel in rel_paths:
             fp = os.path.join(dest, rel)
             try:
@@ -1644,13 +1688,39 @@ class TierStore:
             except OSError:
                 continue
             if sb is not None:
-                entries[rel] = [str(sb[0]), str(sb[1])]
-        if entries:
-            self._update_meta(
-                lambda m, t=tier, e=entries: m.setdefault(
-                    f"_filebounds_{t}", {}
-                ).update(e)
+                lines.append(
+                    json.dumps({"rel": rel, "b": [str(sb[0]), str(sb[1])]})
+                )
+        if lines:
+            buf = ("\n".join(lines) + "\n").encode()
+            fd = os.open(
+                self._bounds_sidecar_path(tier),
+                os.O_CREAT | os.O_WRONLY | os.O_APPEND,
             )
+            try:
+                os.write(fd, buf)
+            finally:
+                os.close(fd)
+
+    def _file_bounds(self, tier: str) -> dict:
+        """Merged per-file ``source`` bounds: the compact-meta baseline
+        (rebuilt at every compaction) plus the append sidecar's lines
+        since. Malformed sidecar lines (a torn concurrent write) are
+        skipped — the file just stays conservatively unskippable."""
+        bounds = dict(
+            self._read_compact_meta().get(f"_filebounds_{tier}") or {}
+        )
+        try:
+            with open(self._bounds_sidecar_path(tier)) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        bounds[rec["rel"]] = rec["b"]
+                    except (ValueError, KeyError):
+                        continue
+        except OSError:
+            pass
+        return bounds
 
     def _plan_source_files(
         self, tier: str, sources, base: list[str] | None
@@ -1670,7 +1740,7 @@ class TierStore:
         into O(that source's files), without a second partition
         dimension (source-partitioning would explode partition count;
         bounds-skipping gets the same scan shape from layout alone)."""
-        bounds = self._read_compact_meta().get(f"_filebounds_{tier}") or {}
+        bounds = self._file_bounds(tier)
         if not bounds:
             return None
         path = self.tier_path(tier)
@@ -2617,6 +2687,18 @@ class TierStore:
         bake_remap: dict[int, int] = {}
         drop_seqs: set[int] = set()
         gc_audits: list[str] = []
+        # branch-chain membership: a BRANCH-stamped staged entry (audit
+        # id "_br:<name>:...") that is on no chain is an orphan — its
+        # write_branch crashed between stage() and the chain-append, and
+        # no code path will ever publish, abandon or replay it (branch
+        # replays mint fresh audit ids). Old orphans are GC'd here like
+        # crashed stagings; young ones are carried (the writer may be
+        # between its two metadata commits right now).
+        chained = {
+            a
+            for br in self.branches(tier).values()
+            for a in br["chain"]
+        }
         for e in self._staged_entries(tier):
             st = e["state"]
             if st == "staging":
@@ -2630,7 +2712,21 @@ class TierStore:
                         f"(age {age:.0f}s) — retry compaction after it lands"
                     )
             elif st == "staged":
-                carry_seqs.add(int(e["seq"]))
+                orphan = (
+                    str(e["audit_id"]).startswith("_br:")
+                    and e["audit_id"] not in chained
+                )
+                if orphan and (
+                    time.time() - float(e.get("ts", 0)) > STAGING_GC_AGE_S
+                ):
+                    self._remove_commit_files(tier, int(e["seq"]))
+                    # belt: drop any residual rows of the seq from the
+                    # rewrite too (a legacy store may hold them folded
+                    # in m-files, where file removal cannot reach)
+                    drop_seqs.add(int(e["seq"]))
+                    gc_audits.append(e["audit_id"])
+                else:
+                    carry_seqs.add(int(e["seq"]))
             elif st == "published":
                 bake_remap[int(e["seq"])] = int(e["pub_seq"])
                 gc_audits.append(e["audit_id"])
@@ -2678,12 +2774,10 @@ class TierStore:
             for old, new in sorted(bake_remap.items()):
                 expr = F.when(F.col("commit_seq") == old, F.lit(new)).otherwise(expr)
             raw = raw.withColumn("commit_seq", expr)
-        carry = None
         if carry_seqs:
-            # rows awaiting audit ride the rewrite as-is (their seqs
-            # keep them invisible via the staged filter) — they join
-            # no fold, no dedup window, no horizon observation
-            carry = raw.filter(F.col("commit_seq").isin(list(carry_seqs)))
+            # rows awaiting audit are excluded from the fold/dedup/
+            # horizon entirely; their ORIGINAL c<seq>- files are copied
+            # verbatim into the rewrite output after the write (below)
             raw = raw.filter(~F.col("commit_seq").isin(list(carry_seqs)))
         sketch_keys = [
             c
@@ -2812,11 +2906,6 @@ class TierStore:
             ).drop("_nv")
         else:
             rows = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
-        if carry is not None:
-            # awaiting-audit rows rejoin the output AFTER the fold and
-            # the observation: they are not folded, not deduped, and
-            # never move the snapshot horizon
-            rows = rows.unionByName(carry)
         rows = rows.repartition("p_date")
         if cluster_by:
             # hash repartition can co-locate several p_dates in one
@@ -2824,6 +2913,33 @@ class TierStore:
             # (one per date) is internally ordered by the cluster keys
             rows = rows.sortWithinPartitions("p_date", *cluster_by)
         rows.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
+        if carry_seqs:
+            # awaiting-audit rows rejoin the output PHYSICALLY: their
+            # original c<seq>- files are copied verbatim into tmp. This
+            # preserves the invariant that staged rows live ONLY in
+            # per-seq c-files — which is what expire()'s in-flight
+            # check and torn-commit repair identify them by; folding
+            # them into m-files would let retention silently drop part
+            # of a commit that later publishes. COPY, not move: a crash
+            # anywhere before the swap leaves the live tier untouched
+            # (tmp is GC'd by crash repair), and the originals die with
+            # the swap's aside dirs as usual.
+            for part in os.listdir(path):
+                dpart = os.path.join(path, part)
+                if not (part.startswith("p_date=") and os.path.isdir(dpart)):
+                    continue
+                for fn in os.listdir(dpart):
+                    mseq = self._FILE_SEQ_RE.match(fn)
+                    if (
+                        fn.startswith("c")
+                        and mseq is not None
+                        and int(mseq.group(1)) in carry_seqs
+                    ):
+                        os.makedirs(os.path.join(tmp, part), exist_ok=True)
+                        shutil.copy2(
+                            os.path.join(dpart, fn),
+                            os.path.join(tmp, part, fn),
+                        )
         # name-encode each output file's exact max commit_seq (m<seq>-)
         # so incremental readers can skip compacted history at planning
         # time; 'm' not 'c': torn-keyed-append repair removes by
@@ -2936,15 +3052,23 @@ class TierStore:
         # conservatively scanned), never correctness.
         def _rebuild_bounds(m, t=tier, new=out_bounds):
             live_root = self.tier_path(t)
+            # start from the MERGED view (meta baseline + append
+            # sidecar) so entries appended since the last rebuild fold
+            # into the baseline before the sidecar is truncated below
             kept = {
                 rel: b
-                for rel, b in m.get(f"_filebounds_{t}", {}).items()
+                for rel, b in self._file_bounds(t).items()
                 if os.path.exists(os.path.join(live_root, rel))
             }
             kept.update(new)
             m[f"_filebounds_{t}"] = kept
 
         self._update_meta(_rebuild_bounds)
+        # sidecar is spent (folded into the baseline above); a line a
+        # concurrent appender races in right here is lost to the NEXT
+        # rebuild — its file is conservatively scanned, never wrong
+        with contextlib.suppress(OSError):
+            os.unlink(self._bounds_sidecar_path(tier))
         # losing this marker to a crash only costs one redundant rewrite
         # on the next scheduled maybe_compact — conservative, never wrong
         last = self.last_commit_seq()
@@ -2992,13 +3116,22 @@ class TierStore:
         Returns the ``compact`` stats dict plus
         ``{"compacted": bool, "version_ratio": float | None}``.
         """
-        if os.path.exists(self._maint_lock_path(tier)):
-            # another maintenance process is live on this tier: its
-            # swap-in-progress state must not be "repaired" under it,
-            # and a second rewrite would race the first — skip a cycle
+        try:
+            with self._maint_lock(tier):
+                # crash repair is directory surgery — it runs under the
+                # maintenance lock (a bare exists-check would be TOCTOU:
+                # a concurrent compactor acquiring between the check and
+                # the repair would have its live aside/tmp dirs
+                # "repaired" under it). Acquiring — rather than skipping
+                # on mere lock existence — also means a STALE lock from
+                # a crashed compactor is broken right here, so one crash
+                # can never wedge the daemon permanently.
+                self._repair_crashed_compact(tier)
+        except ConcurrentCommitError:
+            # another maintenance process is LIVE on this tier: a second
+            # rewrite would race its swap — skip a cycle
             return {"compacted": False, "version_ratio": None,
                     "skipped": "concurrent-maintenance"}
-        self._repair_crashed_compact(tier)
         cur_seq = self.last_commit_seq()
         meta = self._read_compact_meta()
         if int(meta.get(f"_last_compact_seq_{tier}", -1)) == cur_seq:
@@ -3079,16 +3212,45 @@ class TierStore:
             }
             protect |= {s for s, _ in self._pending_keyed_commits(tier)}
             if protect:
-                hit = sorted(
-                    {
-                        int(m.group(1))
-                        for part in victims
-                        for fn in os.listdir(os.path.join(path, part))
-                        if (m := self._FILE_SEQ_RE.match(fn))
-                        and fn.startswith("c")
-                        and int(m.group(1)) in protect
-                    }
-                )
+                import pyarrow.parquet as pq
+
+                # Compaction keeps staged rows in their own per-seq
+                # c-files (the carry copy in _compact_locked), so a
+                # protected seq with ANY live c-file holds ALL its rows
+                # in c-files — exact name matching suffices. A protected
+                # seq with NO c-file tier-wide was folded into m-files
+                # by an older build (or is empty): range-check the
+                # victim m-footers before dropping, conservatively.
+                seqs_in_cfiles = {
+                    int(m.group(1))
+                    for part in os.listdir(path)
+                    if part.startswith("p_date=")
+                    for fn in os.listdir(os.path.join(path, part))
+                    if (m := self._FILE_SEQ_RE.match(fn))
+                    and fn.startswith("c")
+                    and int(m.group(1)) in protect
+                }
+                folded = protect - seqs_in_cfiles
+                hit: set[int] = set()
+                for part in victims:
+                    dpart = os.path.join(path, part)
+                    for fn in os.listdir(dpart):
+                        m = self._FILE_SEQ_RE.match(fn)
+                        if m is None:
+                            continue
+                        if fn.startswith("c"):
+                            if int(m.group(1)) in seqs_in_cfiles:
+                                hit.add(int(m.group(1)))
+                        elif folded and fn.endswith(".parquet"):
+                            mm = self._footer_col_minmax(
+                                pq.read_metadata(os.path.join(dpart, fn)),
+                                "commit_seq",
+                            )
+                            if mm is not None:
+                                hit |= {
+                                    s for s in folded if mm[0] <= s <= mm[1]
+                                }
+                hit = sorted(hit)
                 if hit:
                     raise ConcurrentCommitError(
                         f"tier {tier!r}: retention below {keep_after} would "

@@ -103,5 +103,11 @@ def footer_rows_upper_bound(df) -> int | None:
     for f in files:
         if not f.split("?", 1)[0].endswith(".parquet"):
             return None
-        total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+        try:
+            total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+        except Exception:
+            # non-local URI (s3a://, hdfs://) or unreadable footer —
+            # fall back to the caller's count() job rather than failing
+            # plan construction
+            return None
     return total

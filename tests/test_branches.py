@@ -210,3 +210,61 @@ def test_matview_absorbs_branch_merge(spark, tmp_path):
     # and the merged state really changed (doubled groups present)
     got = mv.read()
     assert got.filter(F.col("source") == "src_hot").count() > 0
+
+
+def test_drop_branch_survives_gcd_chain_entry(store, spark):
+    """A crashed write_branch whose staging record compaction already
+    GC'd must not make the branch undeletable (judge-review regression:
+    abandon() raised KeyError and the drop never completed)."""
+    store.create_branch("t", "dead")
+    store.write_branch("t", "dead", _rows(spark, [(5, "e", 50)]), "b1")
+    # simulate compaction's GC of the chain entry's staged record
+    chain = store.branches("t")["dead"]["chain"]
+    assert len(chain) == 1
+    store._update_meta(
+        lambda m: m.__setitem__(
+            "_staged_t",
+            [e for e in m.get("_staged_t", []) if e["audit_id"] != chain[0]],
+        )
+    )
+    store.drop_branch("t", "dead")  # must not raise
+    assert "dead" not in store.branches("t")
+
+
+def test_compact_gcs_orphaned_branch_stage(store, spark):
+    """write_branch crashing between stage() and the chain-append leaves
+    a branch-stamped 'staged' entry on no chain. Old orphans are GC'd by
+    compaction (files + record); young ones are carried."""
+    import time as _time
+
+    store.create_branch("t", "exp")
+    # simulate the crash: stage with a branch-stamped audit id that
+    # never made it onto the chain
+    orphan_id = "_br:exp:0:deadbeef"
+    seq = store.stage("t", _rows(spark, [(9, "z", 99)]), "b1", orphan_id)
+    # young orphan: carried (writer may be mid-metadata-commit)
+    store.compact("t")
+    assert any(
+        e["audit_id"] == orphan_id for e in store._staged_entries("t")
+    )
+    assert _state(store.read("t")) == {
+        ("2024-01-01", "a", 10),
+        ("2024-01-02", "b", 20),
+    }
+    # old orphan: GC'd — record gone, rows gone, nothing resurrects
+    store._update_meta(
+        lambda m: [
+            e.__setitem__("ts", _time.time() - 8 * 3600)
+            for e in m.get("_staged_t", [])
+            if e["audit_id"] == orphan_id
+        ]
+    )
+    store.compact("t")
+    assert not any(
+        e["audit_id"] == orphan_id for e in store._staged_entries("t")
+    )
+    assert _state(store.read("t")) == {
+        ("2024-01-01", "a", 10),
+        ("2024-01-02", "b", 20),
+    }
+    assert store.read("t", deduped=False).filter("v = 99").count() == 0

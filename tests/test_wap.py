@@ -317,3 +317,44 @@ def test_retention_refuses_to_drop_staged_rows(spark, tmp_path):
     assert store.expire("t", keep_after="2024-01-02") == 1
     served = store.read("t", keys=KEYS)
     assert _vals(served) == [("a", "2024-01-03T10:00:00", 30)]
+
+
+def test_retention_refuses_staged_rows_even_after_compaction(spark, tmp_path):
+    """Judge-review regression: compaction must not launder staged rows
+    past retention's in-flight check. The carried rows stay in per-seq
+    c-files across the rewrite, so expire() still identifies (and
+    protects) them by name — dropping the partition would silently
+    destroy part of a commit that later publishes."""
+    import os
+
+    store = TierStore(spark, str(tmp_path / "expc"))
+    s0 = store.next_commit_seq()
+    store.append("t", _rows(spark, ("a", 1, 10), ("a", 3, 30)), s0, "base")
+    staged_seq = store.stage("t", _rows(spark, ("b", 1, 50)), "cand", "audit-1")
+    store.compact("t", keys=KEYS)
+    # the carry is physical: the staged commit's own c-file survives
+    tier_root = store.tier_path("t")
+    carried = [
+        fn
+        for part in os.listdir(tier_root)
+        if part.startswith("p_date=")
+        for fn in os.listdir(os.path.join(tier_root, part))
+        if fn.startswith(f"c{staged_seq}-")
+    ]
+    assert carried, "staged rows must stay in their own c<seq>- file"
+    # still invisible, still auditable after the rewrite
+    assert _vals(store.read("t", keys=KEYS)) == [
+        ("a", "2024-01-01T10:00:00", 10),
+        ("a", "2024-01-03T10:00:00", 30),
+    ]
+    assert store.audit_read("t", "audit-1", deduped=False).filter(
+        "v = 50"
+    ).count() == 1
+    # retention below the staged rows' date must refuse post-compact too
+    with pytest.raises(ConcurrentCommitError):
+        store.expire("t", keep_after="2024-01-02")
+    store.publish("t", "audit-1")
+    assert store.expire("t", keep_after="2024-01-02") == 1
+    assert _vals(store.read("t", keys=KEYS)) == [
+        ("a", "2024-01-03T10:00:00", 30)
+    ]
