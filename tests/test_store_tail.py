@@ -1,0 +1,114 @@
+"""Store-to-store streaming (tier_store source → TierStore sink):
+the continuous-aggregate cascade and the replica, each proven by exact
+convergence against the batch computation of the same final state —
+including across a stop, more upstream commits, and a checkpointed
+resume (the kill-and-resume discipline of tests/test_stream_resume.py
+applied to a store-tailing pipeline)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from s1tiling_spark.plans.store import TierStore
+from s1tiling_spark.streaming.store_tail import (
+    run_additive_cascade,
+    run_store_mirror,
+)
+from tests.helpers import assert_frames_match
+
+PARTIAL_SCHEMA = "bucket_start timestamp, source string, cnt long, sum_n_tok long"
+KEYS = ("bucket_start", "source")
+T0 = datetime.fromisoformat("2024-03-01 00:00:00")
+
+
+def _partials(spark, rows):
+    """rows: (hour_offset, source, cnt, sum_n_tok)."""
+    return spark.createDataFrame(
+        [(T0 + timedelta(hours=h), s, c, t) for h, s, c, t in rows],
+        PARTIAL_SCHEMA,
+    )
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_additive_cascade_converges_and_resumes(spark, tmp_path):
+    src = TierStore(spark, str(tmp_path / "src"))
+    dst = TierStore(spark, str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ck")
+
+    # three additive 1h-partial commits, same keys touched repeatedly
+    batches = [
+        [(0, "a", 1, 10), (1, "a", 2, 20), (25, "b", 3, 30)],
+        [(0, "a", 4, 40), (25, "b", 5, 50)],
+        [(2, "a", 6, 60)],
+    ]
+    for i, rows in enumerate(batches[:2]):
+        src.append("1h", _partials(spark, rows), src.next_commit_seq(), f"r{i}")
+
+    q = run_additive_cascade(
+        spark, str(tmp_path / "src"), "1h", dst, "1d", ckpt,
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    _drain(q)
+
+    def expected(n_batches):
+        all_rows = [r for b in batches[:n_batches] for r in b]
+        return (
+            _partials(spark, all_rows)
+            .groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"), "source")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("sum_n_tok").alias("sum_n_tok"))
+            .toPandas()
+        )
+
+    got = dst.read_summed("1d", keys=KEYS, sum_cols=("cnt", "sum_n_tok"))
+    assert_frames_match(
+        got.select("bucket_start", "source", "cnt", "sum_n_tok").toPandas(),
+        expected(2),
+    )
+
+    # late data upstream + resume from the same checkpoint: only the
+    # new commit is folded in (no double-count of batches 0-1)
+    src.append("1h", _partials(spark, batches[2]), src.next_commit_seq(), "late")
+    q2 = run_additive_cascade(
+        spark, str(tmp_path / "src"), "1h", dst, "1d", ckpt,
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    _drain(q2)
+    got2 = dst.read_summed("1d", keys=KEYS, sum_cols=("cnt", "sum_n_tok"))
+    assert_frames_match(
+        got2.select("bucket_start", "source", "cnt", "sum_n_tok").toPandas(),
+        expected(3),
+    )
+
+
+def test_store_mirror_matches_source_read(spark, tmp_path):
+    src = TierStore(spark, str(tmp_path / "src"))
+    dst = TierStore(spark, str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ck")
+
+    # upsert lifecycle: v1, superseding v2 (same key), a fresh key
+    src.append("t", _partials(spark, [(0, "a", 1, 10)]), src.next_commit_seq(), "v1")
+    src.append("t", _partials(spark, [(0, "a", 9, 90)]), src.next_commit_seq(), "v2")
+    src.append("t", _partials(spark, [(1, "b", 2, 20)]), src.next_commit_seq(), "v3")
+
+    q = run_store_mirror(
+        spark, str(tmp_path / "src"), "t", dst, "t", ckpt,
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    _drain(q)
+
+    cols = ["bucket_start", "source", "cnt", "sum_n_tok"]
+    assert_frames_match(
+        dst.read("t", keys=KEYS).select(*cols).toPandas(),
+        src.read("t", keys=KEYS).select(*cols).toPandas(),
+    )
+    # supersede resolved: the mirrored value for key (h0, a) is v2's
+    row = dst.read("t", keys=KEYS).filter(F.col("source") == "a").collect()
+    assert [(r["cnt"], r["sum_n_tok"]) for r in row] == [(9, 90)]
