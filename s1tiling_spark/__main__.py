@@ -25,6 +25,9 @@ Subcommands:
   metrics    dump the metrics table
   index      persistent ANN index lifecycle: build | append | status |
              compact over an embeddings parquet (vec_id, embedding)
+  tail       store-to-store streaming over the tier_store source:
+             cascade (additive tier -> coarser additive tier) or
+             mirror (newest-wins replica); --drain = one catch-up pass
 
 The reference's CLI analog is ``S1Processor cfg`` (`/root/reference/
 s1tiling/S1Processor.py:153-168`): parse config → register pipelines →
@@ -211,6 +214,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     vidx.add_argument("--n-cells", type=int, default=None,
                       help="IVF cell count (default: isqrt(corpus))")
+
+    tailp = sub.add_parser(
+        "tail",
+        help="store-to-store streaming over the tier_store source: "
+        "continuously fold an additive tier into a coarser one "
+        "(cascade) or replicate a newest-wins tier (mirror)",
+    )
+    tailp.add_argument("action", choices=("cascade", "mirror"))
+    tailp.add_argument("--src", required=True, help="source store base dir")
+    tailp.add_argument("--src-tier", required=True)
+    tailp.add_argument("--dst", required=True, help="destination store base dir")
+    tailp.add_argument("--dst-tier", required=True)
+    tailp.add_argument("--checkpoint", required=True)
+    tailp.add_argument("--bucket", default="1d", help="cascade target tier bucket")
+    tailp.add_argument("--keys", default="bucket_start,source")
+    tailp.add_argument("--sum-cols", default="cnt,sum_n_tok")
+    tailp.add_argument(
+        "--drain", action="store_true",
+        help="process everything available, then stop (one catch-up "
+        "pass); default runs until interrupted",
+    )
 
     args = ap.parse_args(argv)
 
@@ -433,6 +457,46 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps(idx.build(emb, bands=args.bands, r=args.r)))
                 else:
                     print(json.dumps(idx.append_ivf(emb) if ivf else idx.append(emb)))
+        elif args.cmd == "tail":
+            from s1tiling_spark.plans.store import TierStore
+            from s1tiling_spark.streaming.store_tail import (
+                run_additive_cascade,
+                run_store_mirror,
+            )
+
+            dst = TierStore(spark, args.dst)
+            keys = tuple(k.strip() for k in args.keys.split(",") if k.strip())
+            trig = {"processingTime": "1 second"}
+            if args.action == "cascade":
+                q = run_additive_cascade(
+                    spark, args.src, args.src_tier, dst, args.dst_tier,
+                    args.checkpoint, bucket=args.bucket, keys=keys,
+                    sum_cols=tuple(
+                        c.strip() for c in args.sum_cols.split(",") if c.strip()
+                    ),
+                    trigger=trig,
+                )
+            else:
+                q = run_store_mirror(
+                    spark, args.src, args.src_tier, dst, args.dst_tier,
+                    args.checkpoint, keys=keys, trigger=trig,
+                )
+            if args.drain:
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                print(
+                    json.dumps(
+                        {
+                            "tail": args.action,
+                            "drained": True,
+                            "dst_last_seq": dst.last_commit_seq(),
+                        }
+                    )
+                )
+            else:
+                q.awaitTermination()
         elif args.cmd == "metrics":
             from s1tiling_spark.plans.store import TierStore
 

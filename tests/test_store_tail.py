@@ -112,3 +112,46 @@ def test_store_mirror_matches_source_read(spark, tmp_path):
     # supersede resolved: the mirrored value for key (h0, a) is v2's
     row = dst.read("t", keys=KEYS).filter(F.col("source") == "a").collect()
     assert [(r["cnt"], r["sum_n_tok"]) for r in row] == [(9, 90)]
+
+
+def test_cli_tail_cascade_drain(spark, tmp_path):
+    """`python -m s1tiling_spark tail cascade --drain` end-to-end as a
+    subprocess (the CLI builds its own session; running it in-process
+    would stop the shared test session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    src = TierStore(spark, str(tmp_path / "src"))
+    src.append(
+        "1h",
+        _partials(spark, [(0, "a", 1, 10), (25, "b", 3, 30)]),
+        src.next_commit_seq(),
+        "r0",
+    )
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo",
+        SPARK_GRAFT_MASTER="local[2]",
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "s1tiling_spark", "tail", "cascade",
+            "--src", str(tmp_path / "src"), "--src-tier", "1h",
+            "--dst", str(tmp_path / "dst"), "--dst-tier", "1d",
+            "--checkpoint", str(tmp_path / "ck"), "--drain",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["drained"] is True
+
+    dst = TierStore(spark, str(tmp_path / "dst"))
+    got = dst.read_summed("1d", keys=KEYS, sum_cols=("cnt", "sum_n_tok"))
+    vals = {(r["source"], r["cnt"], r["sum_n_tok"]) for r in got.collect()}
+    assert vals == {("a", 1, 10), ("b", 3, 30)}
