@@ -36,4 +36,5 @@ from s1tiling_spark.catalog import (  # noqa: F401
     counters,
     analytics_queries,
     store_queries,
+    serving_extras,
 )

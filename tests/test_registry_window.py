@@ -38,6 +38,10 @@ EXTRAS = {
     "branch_merge_lifecycle",
     "merge_into_sync",
     "interval_join_calibration",
+    "promql_topk_1d",
+    "absent_series_1h",
+    "mad_anomaly_1d",
+    "plateau_runs",
 }
 WINDOW = 50
 
