@@ -159,3 +159,46 @@ def run_store_mirror(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def run_matview_maintenance(
+    spark: SparkSession,
+    mv,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Continuously maintain a materialized view: tail the view's BASE
+    tier commit log and call ``mv.refresh()`` once per micro-batch —
+    the run loop that turns the changelog-driven IVM
+    (:mod:`s1tiling_spark.plans.matview`) into a live continuous
+    aggregate.
+
+    Exactly-once comes from ``refresh`` itself, not the stream: it
+    consumes the changelog from its own persisted cursor
+    (``last_refreshed_seq``), so a replayed or overlapping trigger is a
+    no-op. The stream contributes low-latency scheduling and
+    Spark-managed restart; its offsets track the base tier's commit
+    seqs, so a refresh fires exactly when commits land.
+
+    The sink deliberately ignores the batch ROWS and refreshes on
+    EVERY batch, including empty ones: a delete or rollback commit
+    advances the commit log without writing data files, so its batch
+    carries zero rows — and that is precisely a batch the view must
+    absorb (retractions). Skipping empty batches would stall deletes
+    until the next append. A refresh with nothing touched compiles no
+    delta side (matview.py) — the idle cost is one changelog cursor
+    check."""
+    stream = _tail(spark, mv.store.base_dir, mv.base_tier)
+    run_id = new_run_id()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        mv.refresh(f"{run_id}-b{batch_id}")
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -155,3 +155,71 @@ def test_cli_tail_cascade_drain(spark, tmp_path):
     got = dst.read_summed("1d", keys=KEYS, sum_cols=("cnt", "sum_n_tok"))
     vals = {(r["source"], r["cnt"], r["sum_n_tok"]) for r in got.collect()}
     assert vals == {("a", 1, 10), ("b", 3, 30)}
+
+
+def test_matview_maintenance_stream_tracks_base_lifecycle(spark, tmp_path):
+    """run_matview_maintenance keeps an AdditiveMatView live against a
+    base-tier lifecycle: appends, a superseding update, and a
+    DELETE-ONLY commit (whose micro-batch carries zero rows — the
+    refresh-on-empty-batch path) — across a checkpointed restart."""
+    from s1tiling_spark.plans.matview import AdditiveMatView
+    from s1tiling_spark.streaming.store_tail import run_matview_maintenance
+
+    store = TierStore(spark, str(tmp_path / "s"))
+    mv = AdditiveMatView(
+        store,
+        name="daily",
+        base_tier="1h",
+        base_keys=KEYS,
+        group_cols={
+            "bucket_start": F.date_trunc("day", F.col("bucket_start")),
+            "source": F.col("source"),
+        },
+        sum_cols=("cnt", "sum_n_tok"),
+    )
+
+    def expected():
+        base = store.read("1h", keys=KEYS)
+        return (
+            base.groupBy(
+                F.date_trunc("day", "bucket_start").alias("bucket_start"),
+                "source",
+            )
+            .agg(F.sum("cnt").alias("cnt"), F.sum("sum_n_tok").alias("sum_n_tok"))
+            .toPandas()
+        )
+
+    def view_pdf():
+        v = mv.read()
+        return v.select("bucket_start", "source", "cnt", "sum_n_tok").toPandas()
+
+    store.append(
+        "1h",
+        _partials(spark, [(0, "a", 1, 10), (1, "a", 2, 20), (25, "b", 3, 30)]),
+        store.next_commit_seq(),
+        "b1",
+    )
+    q = run_matview_maintenance(
+        spark, mv, str(tmp_path / "ck"),
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    _drain(q)
+    assert_frames_match(view_pdf(), expected())
+
+    # superseding update + a DELETE-ONLY commit, then a restart
+    store.append(
+        "1h", _partials(spark, [(0, "a", 9, 90)]), store.next_commit_seq(), "b2"
+    )
+    store.delete(
+        "1h",
+        _partials(spark, [(25, "b", 0, 0)]).select("bucket_start", "source"),
+        store.next_commit_seq(),
+        "del",
+        keys=KEYS,
+    )
+    q2 = run_matview_maintenance(
+        spark, mv, str(tmp_path / "ck"),
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    _drain(q2)
+    assert_frames_match(view_pdf(), expected())
