@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--tier", required=True)
     exp.add_argument("--before", required=True, help="YYYY-MM-DD")
 
+    ret = sub.add_parser(
+        "retention",
+        help="apply a downsample-guarded retention policy "
+        "(rule = tier:keep_days[:guard_tier], e.g. 1h:7:1d 1d:90:30d)",
+    )
+    ret.add_argument("--store", required=True)
+    ret.add_argument("--as-of", required=True, help="YYYY-MM-DD policy anchor")
+    ret.add_argument("rules", nargs="+", help="tier:keep_days[:guard_tier]")
+
     met = sub.add_parser("metrics", help="dump metrics table")
     met.add_argument("--store", required=True)
 
@@ -264,6 +273,33 @@ def main(argv: list[str] | None = None) -> int:
 
             dropped = TierStore(spark, args.store).expire(args.tier, args.before)
             print(json.dumps({"dropped_partitions": dropped}))
+        elif args.cmd == "retention":
+            import datetime as dt
+
+            from s1tiling_spark.plans.retention import (
+                RetentionRule,
+                apply_retention_policy,
+            )
+            from s1tiling_spark.plans.store import TierStore
+
+            rules = []
+            for spec in args.rules:
+                parts = spec.split(":")
+                if len(parts) not in (2, 3):
+                    raise SystemExit(f"bad rule {spec!r}: tier:keep_days[:guard_tier]")
+                rules.append(
+                    RetentionRule(
+                        parts[0],
+                        None if parts[1] in ("", "forever") else int(parts[1]),
+                        parts[2] if len(parts) == 3 else None,
+                    )
+                )
+            reports = apply_retention_policy(
+                TierStore(spark, args.store),
+                rules,
+                dt.date.fromisoformat(args.as_of),
+            )
+            print(json.dumps({"rules": reports}))
         elif args.cmd == "compact":
             from s1tiling_spark.plans.store import DEFAULT_KEYS, TierStore
 

@@ -599,3 +599,73 @@ def interval_join_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cal_n_tok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Downsample-guarded retention: the router view after expiry
+# ---------------------------------------------------------------------------
+
+_RET_CUTOFF = "2024-02-04"  # as_of 2024-02-14, keep_days=10
+
+_RET_ORACLE = (
+    f"WITH {SEQUENCES_ORACLE_CTE} "
+    f"SELECT '1d' AS tier, {bucket_sql('event_ts', '1d')} AS bucket_start, "
+    "source, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+    f"FROM sequences WHERE event_ts < TIMESTAMP '{_RET_CUTOFF}' GROUP BY 2, 3 "
+    "UNION ALL "
+    f"SELECT '1h' AS tier, {bucket_sql('event_ts', '1h')} AS bucket_start, "
+    "source, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+    f"FROM sequences WHERE event_ts >= TIMESTAMP '{_RET_CUTOFF}' GROUP BY 2, 3"
+)
+
+
+@register("retention_lifecycle", oracle=_RET_ORACLE)
+def retention_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-WINDOW EXTRA — the retention policy end-to-end: cascade
+    1h→1d through the incremental pipeline (watermarks committed), then
+    ``apply_retention_policy`` drops 1h dates older than 10 days ONLY
+    after the 1d guard proves absorption, and the post-expiry router
+    view (1d over the expired range + 1h over the retained range) must
+    equal a DuckDB aggregate of the raw rows over the SAME split — i.e.
+    retention lost no information a range query can observe.
+
+    Reference analog: ``keep_X_latest_S1_files``
+    (`/root/reference/s1tiling/libs/S1FileManager.py:735-748`) — the
+    newest-K cache policy — upgraded to a guarded, rollup-preserving
+    retention rule (TimescaleDB retention + continuous aggregates).
+    """
+    import datetime as dt
+
+    from s1tiling_spark.plans.retention import RetentionRule, apply_retention_policy
+    from s1tiling_spark.plans.tiers import TierPipeline, TierPipelineConfig
+
+    seq = sequences_from_documents(spark, sf_dir)
+    base_dir = tempfile.mkdtemp(prefix="s1ts_ret_gate_")
+    store = TierStore(spark, base_dir)
+    TierPipeline(
+        store, TierPipelineConfig(tiers=("1h", "1d"), hist=False, compress=False)
+    ).run(seq)
+    reports = apply_retention_policy(
+        store,
+        [RetentionRule("1h", keep_days=10, guard_tier="1d")],
+        as_of=dt.date(2024, 2, 14),
+    )
+    if not reports[0]["dropped_partitions"]:
+        raise AssertionError("retention gate expected expired 1h partitions")
+
+    def _slice(tier: str, pred) -> DataFrame:
+        df = store.read(tier)
+        return df.filter(pred).select(
+            F.lit(tier).alias("tier"),
+            "bucket_start",
+            "source",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        )
+
+    view = _slice("1d", F.col("bucket_start") < _RET_CUTOFF).unionByName(
+        _slice("1h", F.col("bucket_start") >= _RET_CUTOFF)
+    )
+    out = view.localCheckpoint(eager=True)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out
