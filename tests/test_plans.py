@@ -28,6 +28,10 @@ SANCTIONED_LOOP_JOINS = {
     # relation (16×16 metadata rows — the distributed block-matmul
     # shape), not a row-level loop join
     "embedding_near_dup_exact",
+    # hours × broadcast(series) GRID construction (both sides are
+    # DISTINCT-collapsed metadata relations, O(buckets)·O(series),
+    # never O(samples)) feeding the staleness anti-join
+    "absent_series_1h",
 }
 
 POSITIVE_SHAPES = {
