@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
     ret.add_argument("--as-of", required=True, help="YYYY-MM-DD policy anchor")
     ret.add_argument("rules", nargs="+", help="tier:keep_days[:guard_tier]")
 
+    vac = sub.add_parser(
+        "vacuum", help="remove orphan files no commit references (age-guarded)"
+    )
+    vac.add_argument("--store", required=True)
+    vac.add_argument("--tier", required=True)
+    vac.add_argument(
+        "--older-than", type=float, default=None, help="age guard in seconds"
+    )
+
     met = sub.add_parser("metrics", help="dump metrics table")
     met.add_argument("--store", required=True)
 
@@ -300,6 +309,14 @@ def main(argv: list[str] | None = None) -> int:
                 dt.date.fromisoformat(args.as_of),
             )
             print(json.dumps({"rules": reports}))
+        elif args.cmd == "vacuum":
+            from s1tiling_spark.plans.store import STAGING_GC_AGE_S, TierStore
+
+            rep = TierStore(spark, args.store).vacuum(
+                args.tier,
+                STAGING_GC_AGE_S if args.older_than is None else args.older_than,
+            )
+            print(json.dumps(rep))
         elif args.cmd == "compact":
             from s1tiling_spark.plans.store import DEFAULT_KEYS, TierStore
 

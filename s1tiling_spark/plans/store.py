@@ -3271,6 +3271,65 @@ class TierStore:
                 shutil.rmtree(os.path.join(path, part))
             return len(victims)
 
+    def vacuum(self, tier: str, older_than_s: float = STAGING_GC_AGE_S) -> dict:
+        """Orphan sweep (Iceberg ``remove_orphan_files`` analog): drop
+        entries no commit references and no reader can see, completing
+        the maintenance triad next to :meth:`compact` (rewrite) and
+        :meth:`expire` (retention).
+
+        The commit protocol makes file NAMES the manifest — only
+        ``c<seq>-``/``m<seq>-`` parquet under ``p_date=`` dirs carry
+        committed rows — so orphans are exactly (a) junk-named files a
+        killed writer or an operator mishap left inside partition dirs
+        (worse than dead weight: Spark's directory listing feeds every
+        non-hidden file to the parquet reader, so one stray file FAILS
+        every subsequent read of its date — vacuum is the repair),
+        (b) lock tombstones
+        from stale-lock breaks whose final unlink failed, and
+        (c) crashed staging/compact/delete scratch, which is delegated
+        to the same `_repair_crashed_compact` the compaction path runs
+        (restore-first, so a crashed compact's aside is healed, never
+        swept). Everything is age-guarded by ``older_than_s``: a fresh
+        unknown file may be a concurrent writer mid-protocol — only
+        provably-dead leftovers go. Driver-side listdir only, no scan."""
+        removed_junk: list[str] = []
+        removed_tombs: list[str] = []
+        now = time.time()
+
+        def _dead(p: str) -> bool:
+            try:
+                return (now - os.path.getmtime(p)) > older_than_s
+            except OSError:
+                return False  # raced with its owner — leave it
+
+        with self._maint_lock(tier):
+            self._repair_crashed_compact(tier)
+            path = self.tier_path(tier)
+            if os.path.isdir(path):
+                for part in os.listdir(path):
+                    dpart = os.path.join(path, part)
+                    if not (part.startswith("p_date=") and os.path.isdir(dpart)):
+                        continue
+                    for fn in os.listdir(dpart):
+                        known = fn.endswith(".parquet") and self._FILE_SEQ_RE.match(fn)
+                        fp = os.path.join(dpart, fn)
+                        if not known and os.path.isfile(fp) and _dead(fp):
+                            os.remove(fp)
+                            removed_junk.append(f"{part}/{fn}")
+            for fn in os.listdir(self.base_dir):
+                if ".tomb." in fn:
+                    fp = os.path.join(self.base_dir, fn)
+                    if os.path.isfile(fp) and _dead(fp):
+                        with contextlib.suppress(OSError):
+                            os.unlink(fp)
+                            removed_tombs.append(fn)
+        return {
+            "tier": tier,
+            "junk_files": len(removed_junk),
+            "tombstones": len(removed_tombs),
+            "removed": removed_junk + removed_tombs,
+        }
+
 
 def new_run_id() -> str:
     return f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
