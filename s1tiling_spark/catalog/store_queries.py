@@ -645,6 +645,13 @@ def retention_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     TierPipeline(
         store, TierPipelineConfig(tiers=("1h", "1d"), hist=False, compress=False)
     ).run(seq)
+    if store.read("1h") is None:  # empty input: no lifecycle to run
+        shutil.rmtree(base_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "tier string, bucket_start timestamp, source string, "
+            "cnt long, sum_n_tok long",
+        )
     reports = apply_retention_policy(
         store,
         [RetentionRule("1h", keep_days=10, guard_tier="1d")],

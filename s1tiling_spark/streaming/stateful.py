@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -241,6 +242,107 @@ def rolling_zscore_stream(
         _roll,
         ZSCORE_OUTPUT_SCHEMA,
         ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------
+# Streaming gap-FILL: the stateful counterpart of the batch
+# densify → locf → linear_interpolate chain (operators/gapfill.py).
+# Where gap_detector_stream only REPORTS skipped buckets, this emits
+# the filled rows themselves: LOCF columns carry the previous anchor's
+# values forward, the interpolated column is reconstructed linearly
+# between the two real anchors. Interpolation needs the NEXT anchor,
+# which streaming cannot see until it arrives — so filled rows for a
+# gap are emitted in the micro-batch that delivers the gap's closing
+# anchor (no watermark wait, no speculative emission to retract).
+# Convergence contract: on per-source in-order delivery the collected
+# stream output equals the batch operator row-for-row and bit-for-bit
+# (the interpolation evaluates the same IEEE-double expression the
+# batch plan does: prev + (cur - prev) * ((t - t_prev)/(t_cur - t_prev))),
+# because the batch grid spans [min,max] per source — exactly the
+# interior gaps a closing anchor defines. Same caveat as the counter
+# and z-score streams: late out-of-order rows would need retraction,
+# which append mode cannot express — they are dropped (documented).
+# State per source is one (epoch, anchor values) tuple — bounded.
+
+
+def gapfill_stream(
+    tier_stream: DataFrame,
+    locf_cols: tuple[str, ...] = ("cnt", "sum_n_tok"),
+    interp_col: str = "avg_n_tok",
+    key: str = "source",
+    step_s: int = HOUR,
+) -> DataFrame:
+    """tier_stream: streaming (key, bucket_start, *locf_cols,
+    interp_col) rows → the same rows plus LOCF/interpolated fill rows
+    for every missing interior bucket, flagged ``gap_filled``."""
+    by_name = {f.name: f.dataType for f in tier_stream.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(key, by_name[key]),
+            StructField("bucket_start", TimestampType()),
+            *[StructField(c, by_name[c]) for c in locf_cols],
+            StructField(interp_col, DoubleType()),
+            StructField("gap_filled", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_epoch", LongType()),
+            *[StructField(f"last_{c}", by_name[c]) for c in locf_cols],
+            StructField("last_interp", DoubleType()),
+        ]
+    )
+    n_locf = len(locf_cols)
+
+    def _fill(
+        key_t: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (src,) = key_t
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values("bucket_start", kind="mergesort")
+        epochs = (
+            batch["bucket_start"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        prev: tuple | None = tuple(state.get) if state.exists else None
+        rows: list[tuple] = []
+        for i, t in enumerate(int(e) for e in epochs):
+            if prev is not None and t <= prev[0]:
+                continue  # late out-of-order: append mode cannot retract
+            cur_locf = tuple(
+                v.item() if hasattr(v, "item") else v
+                for v in (batch[c].iloc[i] for c in locf_cols)
+            )
+            cur_interp = float(batch[interp_col].iloc[i])
+            if prev is not None:
+                t0, v0 = prev[0], prev[1 + n_locf]
+                for h in range(t0 + step_s, t, step_s):
+                    # the batch plan's exact expression shape, in the
+                    # same IEEE doubles
+                    interp = v0 + (cur_interp - v0) * ((h - t0) / (t - t0))
+                    rows.append((src, h, *prev[1 : 1 + n_locf], interp, True))
+            rows.append((src, t, *cur_locf, cur_interp, False))
+            prev = (t, *cur_locf, cur_interp)
+        state.update(prev)
+        if rows:
+            out = pd.DataFrame(
+                rows,
+                columns=[key, "bucket_start", *locf_cols, interp_col, "gap_filled"],
+            )
+            out["bucket_start"] = pd.to_datetime(out["bucket_start"], unit="s")
+            yield out
+
+    return tier_stream.groupBy(key).applyInPandasWithState(
+        _fill,
+        out_schema,
+        state_schema,
         "append",
         GroupStateTimeout.NoTimeout,
     )
