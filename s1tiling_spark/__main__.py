@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
         "each rewritten file so row-group stats prune on these keys",
     )
     cmp_.add_argument(
+        "--zorder",
+        action="store_true",
+        help="Morton-interleave the --cluster-by sort so row-group "
+        "stats prune on EVERY cluster column, not just the leading one",
+    )
+    cmp_.add_argument(
         "--mode",
         choices=("latest", "sum"),
         default="latest",
@@ -337,6 +343,7 @@ def main(argv: list[str] | None = None) -> int:
                 cluster_by=_csv(args.cluster_by, None),
                 mode=args.mode,
                 sum_cols=_csv(args.sum_cols, ()),
+                zorder=args.zorder,
             )
             if args.if_ratio_above is not None:
                 keys = kwargs.pop("keys")

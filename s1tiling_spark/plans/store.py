@@ -2559,6 +2559,7 @@ class TierStore:
         cluster_by: tuple[str, ...] | None = None,
         mode: str = "latest",
         sum_cols: tuple[str, ...] = (),
+        zorder: bool = False,
     ) -> dict:
         """Physically apply MERGE-on-read: rewrite each partition with
         one file per partition, expiring superseded row versions.
@@ -2617,6 +2618,15 @@ class TierStore:
         extra shuffle: ``sortWithinPartitions`` after the existing
         ``repartition("p_date")``).
 
+        ``zorder=True`` switches the cluster sort from lexicographic to
+        Morton-interleaved (the Iceberg/Delta z-order rewrite strategy,
+        `operators/zorder.py`): a lexicographic (a, b) sort makes
+        row-group stats tight for ``a`` only — every row group spans
+        the full ``b`` range — while z-order gives every cluster column
+        a narrow min/max window at once, so filters on EITHER dimension
+        prune row groups. Costs one extra bounds agg over the compact
+        input; the key itself is plan-side bit algebra, no UDF.
+
         SAFETY: ``keys`` must be the tier's FULL natural key. Long-form
         sketch tiers carry an extra key column (bin/qbin/depth/col) —
         compacting them with the default key would physically DELETE
@@ -2634,7 +2644,7 @@ class TierStore:
         # of queueing
         with self._maint_lock(tier):
             return self._compact_locked(
-                tier, keys, expire_below, cluster_by, mode, sum_cols
+                tier, keys, expire_below, cluster_by, mode, sum_cols, zorder
             )
 
     def _compact_locked(
@@ -2645,6 +2655,7 @@ class TierStore:
         cluster_by: tuple[str, ...] | None,
         mode: str,
         sum_cols: tuple[str, ...],
+        zorder: bool = False,
     ) -> dict:
         from pyspark.sql import Observation
 
@@ -2895,6 +2906,14 @@ class TierStore:
                 .drop("_w")
             )
             new_horizon = int(expire_below)
+        zbounds: dict | None = None
+        if cluster_by and zorder:
+            from s1tiling_spark.operators.zorder import zorder_bounds
+
+            # bounds come from the pre-observe relation: an extra agg
+            # on the observed plan would fire the Observation on the
+            # wrong action and poison the row-count metric below
+            zbounds = zorder_bounds(kept, tuple(cluster_by))
         tmp = path + f"_compact_{uuid.uuid4().hex}"
         # one task per p_date → one file per partition; row count (and,
         # for full expiry, the exact new horizon) ride the write via
@@ -2911,7 +2930,13 @@ class TierStore:
             # hash repartition can co-locate several p_dates in one
             # task — lead the sort with p_date so each output file
             # (one per date) is internally ordered by the cluster keys
-            rows = rows.sortWithinPartitions("p_date", *cluster_by)
+            if zorder:
+                from s1tiling_spark.operators.zorder import zorder_key
+
+                zk = zorder_key(rows, tuple(cluster_by), zbounds or {})
+                rows = rows.sortWithinPartitions("p_date", zk)
+            else:
+                rows = rows.sortWithinPartitions("p_date", *cluster_by)
         rows.write.mode("overwrite").partitionBy("p_date").parquet(tmp)
         if carry_seqs:
             # awaiting-audit rows rejoin the output PHYSICALLY: their
