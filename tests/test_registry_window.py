@@ -42,6 +42,7 @@ EXTRAS = {
     "absent_series_1h",
     "mad_anomaly_1d",
     "plateau_runs",
+    "retention_lifecycle",
 }
 WINDOW = 50
 
