@@ -336,6 +336,12 @@ def main(argv: list[str] | None = None) -> int:
                     "--sum-cols without --mode sum would run the "
                     "newest-wins rewrite and DELETE additive partials"
                 )
+            if args.zorder and not args.cluster_by:
+                ap.error(
+                    "--zorder needs --cluster-by: without cluster "
+                    "columns there is nothing to interleave and the "
+                    "rewrite would silently skip clustering"
+                )
             store = TierStore(spark, args.store)
             kwargs = dict(
                 keys=_csv(args.keys, DEFAULT_KEYS),

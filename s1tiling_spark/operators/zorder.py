@@ -15,9 +15,13 @@ Everything here is plan-side column algebra (shifts/masks folded by
 whole-stage codegen — no UDF, no shuffle beyond the existing
 per-partition sort):
 
-- numeric/timestamp columns are range-normalized to 16 bits against
-  min/max bounds (one small agg job over the compact input — the only
-  extra cost, and compact is already a full rewrite);
+- numeric/timestamp columns are range-normalized against min/max
+  bounds (the store derives them from parquet FOOTERS driver-side —
+  zero extra Spark jobs; ``zorder_bounds`` is the one-agg fallback
+  when a footer lacks stats). Width is 16 bits, capped at ``63 // n``
+  columns-wide so no bit position reaches the long's sign bit — the
+  JVM masks shift counts mod 64, so an uncapped 5-column key would
+  silently WRAP its high bits onto the low positions;
 - string columns hash to 16 bits (``xxhash64 & 0xffff``): hashing has
   no ORDER locality, but equal values still collapse into the same
   z-neighborhood, so the string column's own row-group min/max stays
@@ -47,17 +51,21 @@ def _as_double(col: str, dt: str) -> Column:
     return F.col(col).cast("double")
 
 
-def _normalized(df: DataFrame, col: str, lo: float, hi: float) -> Column:
-    """Map ``col`` to a 16-bit integer: ranked by value for ordered
-    domains (range-normalized against [lo, hi]), hashed for strings."""
+def _normalized(
+    df: DataFrame, col: str, lo: float, hi: float, bits: int = BITS
+) -> Column:
+    """Map ``col`` to a ``bits``-wide integer: ranked by value for
+    ordered domains (range-normalized against [lo, hi]), hashed for
+    strings."""
+    top = (1 << bits) - 1
     dt = dict(df.dtypes)[col]
     if dt == "string":
-        return F.xxhash64(F.col(col)).bitwiseAND(F.lit(_MAX))
+        return F.xxhash64(F.col(col)).bitwiseAND(F.lit(top))
     v = _as_double(col, dt)
     if hi <= lo:  # constant column: every row is bucket 0
         return F.lit(0).cast("long")
-    scaled = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(_MAX)))
-    return F.greatest(F.lit(0), F.least(F.lit(_MAX), scaled)).cast("long")
+    scaled = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
+    return F.greatest(F.lit(0), F.least(F.lit(top), scaled)).cast("long")
 
 
 def zorder_bounds(df: DataFrame, cols: tuple[str, ...]) -> dict[str, tuple]:
@@ -83,13 +91,21 @@ def zorder_key(
 ) -> Column:
     """The Morton key: bit j of column k lands at position j*n + k, so
     all columns contribute equally at every scale. Pure bitwise column
-    algebra — 16*n shift/mask/or terms, folded by codegen."""
+    algebra — bits*n shift/mask/or terms, folded by codegen.
+
+    Per-column width is ``min(16, 63 // n)`` so the highest position
+    stays below the long's sign bit: the JVM masks shift counts mod 64,
+    so positions ≥ 64 would silently WRAP onto the low-order bits and
+    destroy the curve (and position 63 would flip the sort's sign).
+    Wider column counts trade per-column resolution, never correctness."""
     n = len(cols)
+    bits = min(BITS, 63 // n)
     norms = [
-        _normalized(df, c, *(bounds.get(c) or (0.0, 0.0))) for c in cols
+        _normalized(df, c, *(bounds.get(c) or (0.0, 0.0)), bits=bits)
+        for c in cols
     ]
     key = F.lit(0).cast("long")
-    for j in range(BITS):
+    for j in range(bits):
         for k, nc in enumerate(norms):
             bit = F.shiftright(nc, j).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, j * n + k))

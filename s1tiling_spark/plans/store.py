@@ -2152,6 +2152,63 @@ class TierStore:
                 )
         return out
 
+    def _zorder_bounds_from_footers(
+        self, tier: str, cols: tuple[str, ...], dtypes: dict[str, str]
+    ) -> dict | None:
+        """Normalization bounds for a z-order rewrite, from the live
+        data files' parquet footers (driver-side, no Spark job) — the
+        same metadata-not-data discipline as :meth:`files`. Raw-file
+        stats are a SUPERSET of any merge outcome, which is exactly what
+        normalization bounds need (coverage, not tightness). Returns
+        None (caller falls back to an agg) when any footer lacks stats
+        for an ordered column, or a column's type can't be ranged."""
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        def _to_double(v):
+            if isinstance(v, _dt.datetime):
+                # parquet stats come back as naive UTC wall time
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return v.timestamp()
+            if isinstance(v, _dt.date):
+                return _dt.datetime(
+                    v.year, v.month, v.day, tzinfo=_dt.timezone.utc
+                ).timestamp()
+            return float(v)
+
+        ordered = [c for c in cols if dtypes.get(c) != "string"]
+        if not ordered:
+            return {}
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return {}
+        acc: dict[str, list] = {}
+        for part in sorted(os.listdir(path)):
+            if not part.startswith("p_date="):
+                continue
+            pdir = os.path.join(path, part)
+            for fn in sorted(os.listdir(pdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(pdir, fn))
+                for c in ordered:
+                    mm = self._footer_col_minmax(md, c)
+                    if mm is None:
+                        return None
+                    try:
+                        lo, hi = _to_double(mm[0]), _to_double(mm[1])
+                    except (TypeError, ValueError):
+                        return None
+                    cur = acc.get(c)
+                    acc[c] = (
+                        [lo, hi]
+                        if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
+        return {c: tuple(v) for c, v in acc.items()}
+
     def partitions(self, tier: str) -> list[dict]:
         """Partition-level metadata summary (Iceberg ``table.partitions``
         analog): one dict per live ``p_date`` with file count, row and
@@ -2908,12 +2965,21 @@ class TierStore:
             new_horizon = int(expire_below)
         zbounds: dict | None = None
         if cluster_by and zorder:
-            from s1tiling_spark.operators.zorder import zorder_bounds
+            # bounds come from the data files' parquet FOOTERS
+            # (driver-side, zero Spark jobs): normalization bounds only
+            # need to COVER the kept range, and the raw files' stats are
+            # a superset of any merge outcome — re-aggregating `kept`
+            # would re-execute the whole merge-on-read dedup plan as a
+            # second action (and an agg on the observed plan would fire
+            # the Observation on the wrong action). Falls back to one
+            # agg over `kept` when any footer lacks stats.
+            zbounds = self._zorder_bounds_from_footers(
+                tier, tuple(cluster_by), dict(kept.dtypes)
+            )
+            if zbounds is None:
+                from s1tiling_spark.operators.zorder import zorder_bounds
 
-            # bounds come from the pre-observe relation: an extra agg
-            # on the observed plan would fire the Observation on the
-            # wrong action and poison the row-count metric below
-            zbounds = zorder_bounds(kept, tuple(cluster_by))
+                zbounds = zorder_bounds(kept, tuple(cluster_by))
         tmp = path + f"_compact_{uuid.uuid4().hex}"
         # one task per p_date → one file per partition; row count (and,
         # for full expiry, the exact new horizon) ride the write via
@@ -3302,28 +3368,34 @@ class TierStore:
         the maintenance triad next to :meth:`compact` (rewrite) and
         :meth:`expire` (retention).
 
-        The commit protocol makes file NAMES the manifest — only
-        ``c<seq>-``/``m<seq>-`` parquet under ``p_date=`` dirs carry
-        committed rows — so orphans are exactly (a) junk-named files a
-        killed writer or an operator mishap left inside partition dirs
-        (worse than dead weight: Spark's directory listing feeds every
-        non-hidden file to the parquet reader, so one stray file FAILS
-        every subsequent read of its date — vacuum is the repair),
-        (b) lock tombstones
+        Orphans are exactly (a) NON-parquet strays a killed writer or an
+        operator mishap left inside partition dirs (worse than dead
+        weight: Spark's directory listing feeds every non-hidden file to
+        the parquet reader, so one stray file FAILS every subsequent
+        read of its date — vacuum is the repair), (b) lock tombstones
         from stale-lock breaks whose final unlink failed, and
         (c) crashed staging/compact/delete scratch, which is delegated
         to the same `_repair_crashed_compact` the compaction path runs
         (restore-first, so a crashed compact's aside is healed, never
-        swept). Everything is age-guarded by ``older_than_s``: a fresh
-        unknown file may be a concurrent writer mid-protocol — only
-        provably-dead leftovers go. Driver-side listdir only, no scan."""
+        swept). ``*.parquet`` files are NEVER swept, prefixed or not:
+        the reader serves every parquet in a partition dir, and
+        `_plan_files_above_seq` deliberately admits unprefixed names as
+        legacy/bulk-imported data — deleting one would silently drop
+        rows every previous read returned. Junk is age-guarded by
+        ``older_than_s`` (a fresh unknown file may be a concurrent
+        writer mid-protocol — only provably-dead leftovers go);
+        tombstones always use the FIXED ``STAGING_GC_AGE_S`` staleness
+        horizon, never the caller's guard, because `_break_stale_lock`
+        may momentarily need a young tombstone to reinstate a
+        live-after-all lock — an aggressive ``older_than_s`` must not be
+        able to race that link-back. Driver-side listdir only, no scan."""
         removed_junk: list[str] = []
         removed_tombs: list[str] = []
         now = time.time()
 
-        def _dead(p: str) -> bool:
+        def _dead(p: str, horizon: float) -> bool:
             try:
-                return (now - os.path.getmtime(p)) > older_than_s
+                return (now - os.path.getmtime(p)) > horizon
             except OSError:
                 return False  # raced with its owner — leave it
 
@@ -3336,15 +3408,20 @@ class TierStore:
                     if not (part.startswith("p_date=") and os.path.isdir(dpart)):
                         continue
                     for fn in os.listdir(dpart):
-                        known = fn.endswith(".parquet") and self._FILE_SEQ_RE.match(fn)
+                        if fn.endswith(".parquet"):
+                            continue  # data, committed or legacy — live
                         fp = os.path.join(dpart, fn)
-                        if not known and os.path.isfile(fp) and _dead(fp):
-                            os.remove(fp)
-                            removed_junk.append(f"{part}/{fn}")
+                        if os.path.isfile(fp) and _dead(fp, older_than_s):
+                            # a single failed unlink (external cleaner
+                            # won the race, permissions) must not abort
+                            # the sweep or lose the partial report
+                            with contextlib.suppress(OSError):
+                                os.remove(fp)
+                                removed_junk.append(f"{part}/{fn}")
             for fn in os.listdir(self.base_dir):
                 if ".tomb." in fn:
                     fp = os.path.join(self.base_dir, fn)
-                    if os.path.isfile(fp) and _dead(fp):
+                    if os.path.isfile(fp) and _dead(fp, STAGING_GC_AGE_S):
                         with contextlib.suppress(OSError):
                             os.unlink(fp)
                             removed_tombs.append(fn)

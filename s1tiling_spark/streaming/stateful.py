@@ -257,7 +257,8 @@ def rolling_zscore_stream(
 # which streaming cannot see until it arrives — so filled rows for a
 # gap are emitted in the micro-batch that delivers the gap's closing
 # anchor (no watermark wait, no speculative emission to retract).
-# Convergence contract: on per-source in-order delivery the collected
+# Convergence contract: on per-source in-order delivery of NON-NULL
+# anchor values (tier rows are aggregates — never null) the collected
 # stream output equals the batch operator row-for-row and bit-for-bit
 # (the interpolation evaluates the same IEEE-double expression the
 # batch plan does: prev + (cur - prev) * ((t - t_prev)/(t_cur - t_prev))),
@@ -306,6 +307,19 @@ def gapfill_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
+        # fail LOUD on null anchors: the batch operator's
+        # last(ignorenulls)/interpolate-through-null semantics would
+        # need retraction to mirror online, and a silent NaN here
+        # poisons every later fill for the source — tier rows are
+        # aggregates and never null, so a null is upstream corruption
+        value_cols = [*locf_cols, interp_col]
+        if batch[value_cols].isna().any().any():
+            raise ValueError(
+                f"gapfill_stream: null anchor value(s) for source {src!r} "
+                f"in {value_cols}; null-valued rows cannot be anchors "
+                "(batch locf/interpolate semantics are not expressible "
+                "in append mode) — clean the input upstream"
+            )
         batch = batch.sort_values("bucket_start", kind="mergesort")
         epochs = (
             batch["bucket_start"].astype("datetime64[ns]").astype("int64")

@@ -46,12 +46,16 @@ def _tier_df(spark, rows):
     )
 
 
-def _batch_reference(spark):
-    tier = _tier_df(spark, ROWS)
+def _batch_reference_rows(spark, rows):
+    tier = _tier_df(spark, rows)
     filled = locf(densify(tier, "1h"), ["cnt", "sum_n_tok"])
     return linear_interpolate(filled, "avg_n_tok").select(
         "source", "bucket_start", "cnt", "sum_n_tok", "avg_n_tok", "gap_filled"
     )
+
+
+def _batch_reference(spark):
+    return _batch_reference_rows(spark, ROWS)
 
 
 def _as_set(rows):
@@ -124,11 +128,3 @@ def test_gapfill_stream_drops_late_out_of_order(spark, tmp_path):
     got = _as_set(spark.read.parquet(out_dir).collect())
     want = _as_set(_batch_reference_rows(spark, on_time).collect())
     assert got == want
-
-
-def _batch_reference_rows(spark, rows):
-    tier = _tier_df(spark, rows)
-    filled = locf(densify(tier, "1h"), ["cnt", "sum_n_tok"])
-    return linear_interpolate(filled, "avg_n_tok").select(
-        "source", "bucket_start", "cnt", "sum_n_tok", "avg_n_tok", "gap_filled"
-    )

@@ -26,11 +26,11 @@ N = 40_000
 DIM = 200  # x,y in [0, DIM)
 
 
-def _morton_ref(a: int, b: int) -> int:
+def _morton_ref(vals: tuple[int, ...], bits: int) -> int:
     out = 0
-    for j in range(16):
-        out |= ((a >> j) & 1) << (2 * j)
-        out |= ((b >> j) & 1) << (2 * j + 1)
+    for j in range(bits):
+        for k, v in enumerate(vals):
+            out |= ((v >> j) & 1) << (j * len(vals) + k)
     return out
 
 
@@ -42,7 +42,25 @@ def test_zorder_key_matches_reference_interleave(spark):
         "x", "y", zorder_key(df, ("x", "y"), bounds).alias("z")
     ).collect()
     for r in got:
-        assert r["z"] == _morton_ref(r["x"], r["y"]), (r["x"], r["y"])
+        assert r["z"] == _morton_ref((r["x"], r["y"]), 16), (r["x"], r["y"])
+
+
+def test_zorder_key_many_columns_caps_bits_no_wraparound(spark):
+    """5 columns at full 16-bit width would place bits at positions
+    >= 64, which the JVM's shift wraps mod 64 onto the LOW bits —
+    silently destroying the curve. The key must cap per-column width
+    to 63 // n (12 bits at n=5) and stay non-negative."""
+    top = (1 << 12) - 1  # 63 // 5 = 12 bits per column
+    rows = [(top, 0, 0, 0, 0), (0, 0, 0, 0, top), (100, 200, 300, 400, 500)]
+    cols = ("a", "b", "c", "d", "e")
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long, e long")
+    bounds = {c: (0.0, float(top)) for c in cols}
+    got = df.select(
+        *cols, zorder_key(df, cols, bounds).alias("z")
+    ).collect()
+    for r in got:
+        want = _morton_ref(tuple(r[c] for c in cols), 12)
+        assert r["z"] == want and r["z"] >= 0, tuple(r[c] for c in cols)
 
 
 def _tier_rows(spark):
