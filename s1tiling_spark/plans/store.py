@@ -1501,7 +1501,21 @@ class TierStore:
                 F.pmod(F.xxhash64("bucket_start"), F.lit(int(files_per_date))),
             )
         else:
-            out = out.repartition(F.col("p_date"))
+            # EXPLICIT partition count: a bare repartition(col) lets AQE
+            # coalesce the write to ONE task, which then writes every
+            # touched date's file serially (~100 ms/file of fixed
+            # parquet+committer cost — measured 4.7 s for a 45-date
+            # micro-append vs 0.4 s parallel). Parallelism = the number
+            # of concurrently runnable tasks (defaultParallelism /
+            # task.cpus), machine-derived, not a local constant; each
+            # date still hashes to exactly one task, so the one-file-
+            # per-date layout contract is unchanged.
+            slots = max(
+                1,
+                int(self.spark.sparkContext.defaultParallelism)
+                // int(self.spark.conf.get("spark.task.cpus", "1") or "1"),
+            )
+            out = out.repartition(slots, F.col("p_date"))
         # ONE action: the row count rides the write itself via observe()
         # — no second scan of the output (VERDICT r2 nit)
         obs = Observation(f"append-{tier}-{commit_seq}")
@@ -2519,38 +2533,97 @@ class TierStore:
         """Commit per-source watermarks AFTER the data append succeeded
         (crash between append and this call → recompute + dedup-on-read
         repairs; never lost data, never double-counted)."""
+        # Collect + driver-side pyarrow write, not a Spark write job:
+        # watermarks are O(sources) metadata rows, and the write job
+        # costs ~0.7-1 s per commit on this host (task launch + file
+        # committer) vs ~50 ms for one local footer. Epoch micros are
+        # collected (not datetimes) so no driver-timezone conversion
+        # can perturb the stored instant.
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = (
-            watermarks.select("source", "watermark")
-            .withColumn("tier", F.lit(tier))
-            .withColumn("commit_seq", F.lit(commit_seq))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("committed_at", F.current_timestamp())
+            watermarks.select(
+                "source", F.unix_micros(F.col("watermark")).alias("wm_us")
+            )
+        ).collect()
+        ts = pa.timestamp("us", tz="UTC")
+        table = pa.Table.from_arrays(
+            [
+                pa.array([r["source"] for r in rows], pa.string()),
+                pa.array([r["wm_us"] for r in rows], ts),
+                pa.array([tier] * len(rows), pa.string()),
+                pa.array([int(commit_seq)] * len(rows), pa.int64()),
+                pa.array([run_id] * len(rows), pa.string()),
+                pa.array([int(_time.time() * 1_000_000)] * len(rows), ts),
+            ],
+            names=[
+                "source", "watermark", "tier", "commit_seq", "run_id",
+                "committed_at",
+            ],
         )
-        rows.write.mode("append").parquet(self._ckpt_path())
+        path = self._ckpt_path()
+        os.makedirs(path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(path, f".{name}.tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(path, name))
 
     # ---------- metrics ----------
     def append_metrics(self, rows: list[dict]) -> None:
         """Per-partition metrics rows — analog of the reference's
-        outcome/error census (`api.py:477-487`)."""
+        outcome/error census (`api.py:477-487`).
+
+        Written driver-side with pyarrow, not a Spark job: the rows are
+        O(tiers-per-run) metadata, and a ``createDataFrame([...])
+        .coalesce(1).write`` of that shape costs ~5 s per call on this
+        host — the local-relation scan is a pickled-RDD of
+        default-parallelism near-empty slices, and coalesce(1) makes
+        ONE task launch a Python worker round-trip per slice,
+        serially (measured: 32 slices × ~150 ms; OPTIMIZATION_r06.md).
+        One parquet footer written locally is the metadata-commit
+        shape a real catalog uses for run telemetry anyway."""
         if not rows:
             return
-        df = self.spark.createDataFrame(
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
             [
-                (
-                    r["run_id"],
-                    r["tier"],
-                    r["partition"],
-                    int(r["rows_in"]),
-                    int(r["rows_out"]),
-                    int(r.get("errors", 0)),
-                    int(r["wall_ms"]),
-                )
+                ("run_id", pa.string()),
+                ("tier", pa.string()),
+                ("partition", pa.string()),
+                ("rows_in", pa.int64()),
+                ("rows_out", pa.int64()),
+                ("errors", pa.int64()),
+                ("wall_ms", pa.int64()),
+            ]
+        )
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "run_id": r["run_id"],
+                    "tier": r["tier"],
+                    "partition": r["partition"],
+                    "rows_in": int(r["rows_in"]),
+                    "rows_out": int(r["rows_out"]),
+                    "errors": int(r.get("errors", 0)),
+                    "wall_ms": int(r["wall_ms"]),
+                }
                 for r in rows
             ],
-            "run_id string, tier string, partition string, rows_in long, "
-            "rows_out long, errors long, wall_ms long",
+            schema=schema,
         )
-        df.coalesce(1).write.mode("append").parquet(self._metrics_path())
+        path = self._metrics_path()
+        os.makedirs(path, exist_ok=True)
+        # tmp + rename: a reader never sees a torn footer
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        # dot-prefixed tmp: hidden from any concurrent directory scan
+        tmp = os.path.join(path, f".{name}.tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(path, name))
 
     def read_metrics(self) -> DataFrame | None:
         path = self._metrics_path()

@@ -87,10 +87,19 @@ class TierPipeline:
     def _commit(self, tier_key: str, out: DataFrame, run_id: str,
                 rows_in_obs: Observation | None, t0: float) -> dict:
         seq = self.store.next_commit_seq()
-        rows_out = self.store.append(tier_key, out, seq, run_id)
-        if rows_out:
-            wm = out.groupBy("source").agg(F.max("bucket_start").alias("watermark"))
-            self.store.commit_checkpoint(tier_key, wm, seq, run_id)
+        # persist the tier rows across the two consumers (data append +
+        # watermark max): without it the watermark aggregate re-runs
+        # the whole rollup from raw a second time per commit
+        out = out.persist()
+        try:
+            rows_out = self.store.append(tier_key, out, seq, run_id)
+            if rows_out:
+                wm = out.groupBy("source").agg(
+                    F.max("bucket_start").alias("watermark")
+                )
+                self.store.commit_checkpoint(tier_key, wm, seq, run_id)
+        finally:
+            out.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         rows_in = int(rows_in_obs.get["rows_in"]) if rows_in_obs and rows_out else 0
         m = {

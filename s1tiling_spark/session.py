@@ -80,6 +80,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r6): coalescePartitions.parallelismFirst=false was
+        # measured and REJECTED as a global default — it halves the
+        # lifecycle gates' task storms but collapses the CPU-heavy
+        # small-shuffle queries (embedding_near_dup 4.8 -> 8.8 s) by
+        # serializing their post-shuffle compute; the cached-plan flag
+        # below captures nearly all of the win without that risk.
+        # Let AQE re-plan the partitioning of CACHED plan output too:
+        # persisted intermediates (rollup outputs, changelog touched
+        # sets) otherwise freeze at the initial shuffle partition count
+        # and every consumer stage launches that many tasks (measured:
+        # the matview mixed-refresh dropped 1509 -> 218 tasks, r6).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

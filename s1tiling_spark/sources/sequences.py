@@ -57,7 +57,20 @@ def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * TS_MULT) % SPAN_MINUTES).cast("int"),
             F.lit(BASE_TS).cast("timestamp"),
         ).alias("event_ts"),
-    ).withColumn("n_tok", F.size("tokens").cast("int"))
+        # n_tok == size(tokens) == size(split(text,' ')) == spaces+1
+        # (split keeps trailing empties), computed WITHOUT the split:
+        # Catalyst cannot simplify size(transform(split(...))) away, so
+        # deriving n_tok from `tokens` made every count-only consumer
+        # (the rollup gates read only event_ts/source/n_tok) pay the
+        # full per-token tokenization; this form is a char count.
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + F.lit(1)
+        )
+        .cast("int")
+        .alias("n_tok"),
+    )
 
 
 # DuckDB CTE computing the identical sequences relation from the
