@@ -641,38 +641,44 @@ def retention_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir)
     base_dir = tempfile.mkdtemp(prefix="s1ts_ret_gate_")
-    store = TierStore(spark, base_dir)
-    TierPipeline(
-        store, TierPipelineConfig(tiers=("1h", "1d"), hist=False, compress=False)
-    ).run(seq)
-    if store.read("1h") is None:  # empty input: no lifecycle to run
+    # try/finally: a raise anywhere past here must not leak the scratch
+    # store under /tmp (ADVICE r5) — the result is pinned off its files
+    # by the eager localCheckpoint before the finally runs
+    try:
+        store = TierStore(spark, base_dir)
+        TierPipeline(
+            store, TierPipelineConfig(tiers=("1h", "1d"), hist=False,
+                                      compress=False)
+        ).run(seq)
+        if store.read("1h") is None:  # empty input: no lifecycle to run
+            return spark.createDataFrame(
+                [],
+                "tier string, bucket_start timestamp, source string, "
+                "cnt long, sum_n_tok long",
+            )
+        reports = apply_retention_policy(
+            store,
+            [RetentionRule("1h", keep_days=10, guard_tier="1d")],
+            as_of=dt.date(2024, 2, 14),
+        )
+        if not reports[0]["dropped_partitions"]:
+            raise AssertionError(
+                "retention gate expected expired 1h partitions"
+            )
+
+        def _slice(tier: str, pred) -> DataFrame:
+            df = store.read(tier)
+            return df.filter(pred).select(
+                F.lit(tier).alias("tier"),
+                "bucket_start",
+                "source",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            )
+
+        view = _slice("1d", F.col("bucket_start") < _RET_CUTOFF).unionByName(
+            _slice("1h", F.col("bucket_start") >= _RET_CUTOFF)
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
         shutil.rmtree(base_dir, ignore_errors=True)
-        return spark.createDataFrame(
-            [],
-            "tier string, bucket_start timestamp, source string, "
-            "cnt long, sum_n_tok long",
-        )
-    reports = apply_retention_policy(
-        store,
-        [RetentionRule("1h", keep_days=10, guard_tier="1d")],
-        as_of=dt.date(2024, 2, 14),
-    )
-    if not reports[0]["dropped_partitions"]:
-        raise AssertionError("retention gate expected expired 1h partitions")
-
-    def _slice(tier: str, pred) -> DataFrame:
-        df = store.read(tier)
-        return df.filter(pred).select(
-            F.lit(tier).alias("tier"),
-            "bucket_start",
-            "source",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
-        )
-
-    view = _slice("1d", F.col("bucket_start") < _RET_CUTOFF).unionByName(
-        _slice("1h", F.col("bucket_start") >= _RET_CUTOFF)
-    )
-    out = view.localCheckpoint(eager=True)
-    shutil.rmtree(base_dir, ignore_errors=True)
-    return out

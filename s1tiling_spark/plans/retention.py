@@ -78,7 +78,12 @@ def covering_bucket_start(day: dt.date, guard_tier: str) -> dt.datetime:
         secs = int((start - _EPOCH).total_seconds())
         return _EPOCH + dt.timedelta(seconds=(secs // _30D_SECONDS) * _30D_SECONDS)
     if guard_tier == "1h":
-        return start  # covering an even finer tier: day start suffices
+        # a sub-day guard covers a victim DAY only when every one of the
+        # day's guard buckets is final — i.e. the watermark is strictly
+        # past the start of the day's LAST 1h bucket (23:00). Returning
+        # the day start would pass the check with hours 01-23 never
+        # absorbed (ADVICE r5, medium).
+        return start + dt.timedelta(hours=23)
     raise ValueError(f"unknown guard tier {guard_tier!r}")
 
 
@@ -156,12 +161,21 @@ def apply_retention_policy(
         if rule.keep_days is not None:
             cutoff = as_of - dt.timedelta(days=rule.keep_days)
             rep["cutoff"] = cutoff.isoformat()
-            victims = _victim_dates(store, rule.tier, cutoff)
-            if victims:
-                if rule.guard_tier is not None:
-                    rep["checked_pairs"] = _check_guard(
-                        store, rule.tier, rule.guard_tier, victims
+            # ONE maintenance-lock span over victim enumeration, guard
+            # check and drop (ADVICE r5): an append into a victim date
+            # between check and drop would otherwise be deleted
+            # unguarded, and a victim partition created after the
+            # enumeration would be dropped without ever being checked.
+            # Appends/deletes wait at publish time while this holds.
+            with store._maint_lock(rule.tier):
+                victims = _victim_dates(store, rule.tier, cutoff)
+                if victims:
+                    if rule.guard_tier is not None:
+                        rep["checked_pairs"] = _check_guard(
+                            store, rule.tier, rule.guard_tier, victims
+                        )
+                    rep["dropped_partitions"] = store._expire_locked(
+                        rule.tier, cutoff
                     )
-                rep["dropped_partitions"] = store.expire(rule.tier, cutoff)
         reports.append(rep)
     return reports

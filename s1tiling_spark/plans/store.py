@@ -246,6 +246,17 @@ class TierStore:
             time.sleep(0.1)
 
     # ---------- paths ----------
+    def _write_slots(self) -> int:
+        """Concurrently-runnable task count (defaultParallelism /
+        task.cpus) — the explicit partition count for partitioned
+        writes so AQE cannot coalesce them to one serial task.
+        Machine-derived, never a local constant."""
+        return max(
+            1,
+            int(self.spark.sparkContext.defaultParallelism)
+            // int(self.spark.conf.get("spark.task.cpus", "1") or "1"),
+        )
+
     def tier_path(self, tier: str) -> str:
         return os.path.join(self.base_dir, f"tier_{tier}")
 
@@ -1510,12 +1521,7 @@ class TierStore:
             # task.cpus), machine-derived, not a local constant; each
             # date still hashes to exactly one task, so the one-file-
             # per-date layout contract is unchanged.
-            slots = max(
-                1,
-                int(self.spark.sparkContext.defaultParallelism)
-                // int(self.spark.conf.get("spark.task.cpus", "1") or "1"),
-            )
-            out = out.repartition(slots, F.col("p_date"))
+            out = out.repartition(self._write_slots(), F.col("p_date"))
         # ONE action: the row count rides the write itself via observe()
         # — no second scan of the output (VERDICT r2 nit)
         obs = Observation(f"append-{tier}-{commit_seq}")
@@ -3045,10 +3051,19 @@ class TierStore:
             # would re-execute the whole merge-on-read dedup plan as a
             # second action (and an agg on the observed plan would fire
             # the Observation on the wrong action). Falls back to one
-            # agg over `kept` when any footer lacks stats.
-            zbounds = self._zorder_bounds_from_footers(
-                tier, tuple(cluster_by), dict(kept.dtypes)
-            )
+            # agg over `kept` when any footer lacks stats — and when a
+            # cluster column is ALSO a mode='sum' measure: summed
+            # partials exceed every raw file's max, so footer bounds
+            # would clamp those rows into the top z-bucket and lose
+            # curve locality (ADVICE r5; perf-only, the key is
+            # sort-only, but the agg bounds keep the curve honest).
+            zbounds = None
+            if not (
+                mode == "sum" and sum_cols and set(cluster_by) & set(sum_cols)
+            ):
+                zbounds = self._zorder_bounds_from_footers(
+                    tier, tuple(cluster_by), dict(kept.dtypes)
+                )
             if zbounds is None:
                 from s1tiling_spark.operators.zorder import zorder_bounds
 
@@ -3064,7 +3079,11 @@ class TierStore:
             ).drop("_nv")
         else:
             rows = kept.observe(obs, F.count(F.lit(1)).alias("rows"))
-        rows = rows.repartition("p_date")
+        # explicit slot-count partitioning: a bare repartition("p_date")
+        # lets AQE coalesce the rewrite to one task writing every
+        # date's file serially (same fix as append(); each date still
+        # lands in exactly one task → one file per partition)
+        rows = rows.repartition(self._write_slots(), F.col("p_date"))
         if cluster_by:
             # hash repartition can co-locate several p_dates in one
             # task — lead the sort with p_date so each output file
@@ -3350,90 +3369,97 @@ class TierStore:
         read the same surviving files) — a continuous aggregate KEEPS
         its rolled-up points for expired raw dates, TimescaleDB's
         retention-vs-continuous-aggregate semantics exactly."""
-        path = self.tier_path(tier)
-        if not os.path.isdir(path):
-            return 0
         # partition drops are directory surgery — same lock discipline
         # as compact's swap (appends/deletes wait at publish time)
         with self._maint_lock(tier):
-            victims = [
-                part
+            return self._expire_locked(tier, keep_after)
+
+    def _expire_locked(self, tier: str, keep_after) -> int:
+        """:meth:`expire` body for callers already holding the tier's
+        maintenance lock — ``apply_retention_policy`` spans victim
+        enumeration, the guard check and the drop under ONE lock so no
+        append can slip a victim-date row in between (ADVICE r5)."""
+        path = self.tier_path(tier)
+        if not os.path.isdir(path):
+            return 0
+        victims = [
+            part
+            for part in os.listdir(path)
+            if part.startswith("p_date=")
+            and part.split("=", 1)[1] < str(keep_after)
+        ]
+        if not victims:
+            return 0
+        # a WAP candidate awaiting audit (or a live keyed commit
+        # mid-move) may have rows in the victim dates — dropping
+        # them would silently void part of a commit that later
+        # publishes. The file names carry the seqs, so the check
+        # is a driver-side listdir, no scan.
+        protect = {
+            int(e["seq"])
+            for e in self._staged_entries(tier)
+            if e["state"] in ("staging", "staged")
+        }
+        protect |= {s for s, _ in self._pending_keyed_commits(tier)}
+        if protect:
+            import pyarrow.parquet as pq
+
+            # Compaction keeps staged rows in their own per-seq
+            # c-files (the carry copy in _compact_locked), so a
+            # protected seq with ANY live c-file holds ALL its rows
+            # in c-files — exact name matching suffices. A protected
+            # seq with NO c-file tier-wide was folded into m-files
+            # by an older build (or is empty): range-check the
+            # victim m-footers before dropping, conservatively.
+            seqs_in_cfiles = {
+                int(m.group(1))
                 for part in os.listdir(path)
                 if part.startswith("p_date=")
-                and part.split("=", 1)[1] < str(keep_after)
-            ]
-            if not victims:
-                return 0
-            # a WAP candidate awaiting audit (or a live keyed commit
-            # mid-move) may have rows in the victim dates — dropping
-            # them would silently void part of a commit that later
-            # publishes. The file names carry the seqs, so the check
-            # is a driver-side listdir, no scan.
-            protect = {
-                int(e["seq"])
-                for e in self._staged_entries(tier)
-                if e["state"] in ("staging", "staged")
+                for fn in os.listdir(os.path.join(path, part))
+                if (m := self._FILE_SEQ_RE.match(fn))
+                and fn.startswith("c")
+                and int(m.group(1)) in protect
             }
-            protect |= {s for s, _ in self._pending_keyed_commits(tier)}
-            if protect:
-                import pyarrow.parquet as pq
-
-                # Compaction keeps staged rows in their own per-seq
-                # c-files (the carry copy in _compact_locked), so a
-                # protected seq with ANY live c-file holds ALL its rows
-                # in c-files — exact name matching suffices. A protected
-                # seq with NO c-file tier-wide was folded into m-files
-                # by an older build (or is empty): range-check the
-                # victim m-footers before dropping, conservatively.
-                seqs_in_cfiles = {
-                    int(m.group(1))
-                    for part in os.listdir(path)
-                    if part.startswith("p_date=")
-                    for fn in os.listdir(os.path.join(path, part))
-                    if (m := self._FILE_SEQ_RE.match(fn))
-                    and fn.startswith("c")
-                    and int(m.group(1)) in protect
-                }
-                folded = protect - seqs_in_cfiles
-                hit: set[int] = set()
-                for part in victims:
-                    dpart = os.path.join(path, part)
-                    for fn in os.listdir(dpart):
-                        m = self._FILE_SEQ_RE.match(fn)
-                        if m is None:
-                            continue
-                        if fn.startswith("c"):
-                            if int(m.group(1)) in seqs_in_cfiles:
-                                hit.add(int(m.group(1)))
-                        elif folded and fn.endswith(".parquet"):
-                            mm = self._footer_col_minmax(
-                                pq.read_metadata(os.path.join(dpart, fn)),
-                                "commit_seq",
-                            )
-                            if mm is not None:
-                                hit |= {
-                                    s for s in folded if mm[0] <= s <= mm[1]
-                                }
-                hit = sorted(hit)
-                if hit:
-                    raise ConcurrentCommitError(
-                        f"tier {tier!r}: retention below {keep_after} would "
-                        f"drop rows of in-flight commit(s) {hit} (staged "
-                        "and/or pending) — publish or abandon them first"
-                    )
-            exp_seq = self.next_commit_seq()
-
-            def _record_floor(m, t=tier, ka=str(keep_after), s=exp_seq):
-                prev = m.get(f"_retention_{t}") or {"floor": "", "seq": 0}
-                m[f"_retention_{t}"] = {
-                    "floor": max(ka, prev["floor"]),
-                    "seq": max(s, int(prev["seq"])),
-                }
-
-            self._update_meta(_record_floor)
+            folded = protect - seqs_in_cfiles
+            hit: set[int] = set()
             for part in victims:
-                shutil.rmtree(os.path.join(path, part))
-            return len(victims)
+                dpart = os.path.join(path, part)
+                for fn in os.listdir(dpart):
+                    m = self._FILE_SEQ_RE.match(fn)
+                    if m is None:
+                        continue
+                    if fn.startswith("c"):
+                        if int(m.group(1)) in seqs_in_cfiles:
+                            hit.add(int(m.group(1)))
+                    elif folded and fn.endswith(".parquet"):
+                        mm = self._footer_col_minmax(
+                            pq.read_metadata(os.path.join(dpart, fn)),
+                            "commit_seq",
+                        )
+                        if mm is not None:
+                            hit |= {
+                                s for s in folded if mm[0] <= s <= mm[1]
+                            }
+            hit = sorted(hit)
+            if hit:
+                raise ConcurrentCommitError(
+                    f"tier {tier!r}: retention below {keep_after} would "
+                    f"drop rows of in-flight commit(s) {hit} (staged "
+                    "and/or pending) — publish or abandon them first"
+                )
+        exp_seq = self.next_commit_seq()
+
+        def _record_floor(m, t=tier, ka=str(keep_after), s=exp_seq):
+            prev = m.get(f"_retention_{t}") or {"floor": "", "seq": 0}
+            m[f"_retention_{t}"] = {
+                "floor": max(ka, prev["floor"]),
+                "seq": max(s, int(prev["seq"])),
+            }
+
+        self._update_meta(_record_floor)
+        for part in victims:
+            shutil.rmtree(os.path.join(path, part))
+        return len(victims)
 
     def vacuum(self, tier: str, older_than_s: float = STAGING_GC_AGE_S) -> dict:
         """Orphan sweep (Iceberg ``remove_orphan_files`` analog): drop
