@@ -204,7 +204,9 @@ def srp_band_keys(qv: Column, bands: int, r: int) -> Column:
     )
 
 
-def srp_banded_arrow(prep: DataFrame, bands: int, r: int) -> DataFrame:
+def srp_banded_arrow(
+    prep: DataFrame, bands: int, r: int, with_vectors: bool = False
+) -> DataFrame:
     """(vec_id, qv, …) → long-form (vec_id, band, key) band keys,
     computed as ONE numpy int64 matmul per Arrow batch instead of
     bands·r interpreted column folds.
@@ -219,7 +221,10 @@ def srp_banded_arrow(prep: DataFrame, bands: int, r: int) -> DataFrame:
     per-element lambdas — at bands·r ≳ 20 planes this is the dominant
     banding cost (PERF.md §3's Arrow break-even, now on the projection
     side). Output carries only (vec_id, band, key): the vectors never
-    leave the kernel."""
+    leave the kernel — unless ``with_vectors`` asks for (qv, nrm) too,
+    the input to the per-bucket verify kernel
+    (:func:`_bucket_pairs_matmul`), which trades bands× vector copies
+    through ONE shuffle against per-candidate-pair vector attachment."""
     import numpy as np
     import pandas as pd
 
@@ -241,14 +246,21 @@ def srp_banded_arrow(prep: DataFrame, bands: int, r: int) -> DataFrame:
                 signs.reshape(len(pdf), bands, r) * pow2[None, None, :]
             ).sum(axis=2)
             rows = np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), bands)
-            yield pd.DataFrame(
-                {
-                    "vec_id": rows,
-                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
-                    "key": keys.reshape(-1),
-                }
-            )
+            out = {
+                "vec_id": rows,
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                "key": keys.reshape(-1),
+            }
+            if with_vectors:
+                out["qv"] = np.repeat(pdf["qv"].to_numpy(), bands)
+                out["nrm"] = np.repeat(pdf["nrm"].to_numpy(dtype=np.int64), bands)
+            yield pd.DataFrame(out)
 
+    if with_vectors:
+        return prep.select("vec_id", "qv", "nrm").mapInPandas(
+            kernel,
+            "vec_id long, band int, key long, qv array<long>, nrm long",
+        )
     return prep.select("vec_id", "qv").mapInPandas(
         kernel, "vec_id long, band int, key long"
     )
@@ -283,43 +295,83 @@ def near_dup_pairs_lsh(
     the planes miss are the only loss (measured in
     tests/test_similarity_lsh.py against the all-pairs baseline).
 
-    Join discipline: the prepared (qv, nrm) relation is persisted and
-    the band self-join carries only (band, key, vec_id); vectors are
-    re-attached to the deduped candidate pairs afterwards — the qv
-    arrays never ride the candidate shuffle."""
-    prep = _persist(_prepared(emb))
-    banded = _persist(srp_banded_arrow(prep, bands, r))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    Shuffle discipline (guide §8 — move the heavy bytes ONCE): every
+    candidate pair shares a band bucket, so the exact verification is
+    a per-bucket integer matmul over that bucket's vectors. One
+    groupBy((band, key)) shuffle moves ``bands`` copies of each vector;
+    the kernel emits only the SURVIVING (id_a, id_b, cos) rows, and a
+    final dropDuplicates runs over survivors. The previous shape
+    (ids-only candidate self-join, then re-attaching both qv arrays to
+    every deduped pair) shuffled 2 vector copies PER CANDIDATE PAIR —
+    ~870 copies of each vector at the gate's density (1.7 M candidates
+    over 2 k vectors) vs 16 here; measured 4.8 s -> 1.3 s warm at
+    sf0.1. Bucket occupancy is bounded by the banding parameters
+    (``derive_r`` targets a fixed expected bucket size), and the
+    kernel chunks its matmul so per-task memory stays O(chunk ×
+    bucket) even on a degenerate hot bucket."""
+    bandedv = srp_banded_arrow(_prepared(emb), bands, r, with_vectors=True)
+    return _bucket_pairs_matmul(bandedv, tau).dropDuplicates(["id_a", "id_b"])
+
+
+def _bucket_pairs_matmul(bandedv: DataFrame, tau: float) -> DataFrame:
+    """(vec_id, band, key, qv, nrm) → surviving (id_a, id_b, cos) per
+    band bucket: exact int64 dot products via one chunked numpy matmul
+    per bucket, thresholded EXACTLY like :func:`_cos_filter`
+    (dot > 0 AND double(dot)·double(dot) >= tau²·double(na·nb); cos =
+    dot / sqrt(double(na·nb)) — identical IEEE ops, so results are
+    bit-equal to the pairwise formulation). Pairs are emitted with
+    id_a < id_b; cross-bucket duplicates carry identical values, so
+    the caller's dropDuplicates may keep any."""
+    import numpy as np
+    import pandas as pd
+
+    t2 = tau * tau
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
     )
-    pairs_vecs = cand.join(
-        prep.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("qv").alias("qv_a"),
-            F.col("nrm").alias("na"),
-        ),
-        "id_a",
-    ).join(
-        prep.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("qv").alias("qv_b"),
-            F.col("nrm").alias("nb"),
-        ),
-        "id_b",
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.array(list(pdf["qv"]), dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.int64)
+        # chunk rows so the (chunk × n) dot matrix stays ~64 MB even
+        # on a degenerate hot bucket (CPU is O(b²·dim) either way —
+        # inherent to LSH candidates — but memory must not be)
+        chunk = max(1, min(n, (8 << 20) // n))
+        out = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            D = Q[s:e] @ Q.T  # exact int64 dots, (e-s, n)
+            prod = (nrm[s:e, None] * nrm[None, :]).astype(np.float64)
+            dd = D.astype(np.float64)
+            keep = (
+                (D > 0)
+                & (dd * dd >= t2 * prod)
+                & (ids[s:e, None] < ids[None, :])
+            )
+            ci, cj = np.nonzero(keep)
+            if len(ci):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[s + ci],
+                            "id_b": ids[cj],
+                            "cos": D[ci, cj] / np.sqrt(prod[ci, cj]),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return bandedv.groupBy("band", "key").applyInPandas(
+        kernel, "id_a long, id_b long, cos double"
     )
-    return _cos_filter(_pair_dots_arrow(pairs_vecs), tau)
 
 
 def _pair_dots_arrow(pairs_vecs: DataFrame) -> DataFrame:

@@ -625,8 +625,15 @@ class MergeMatView(AdditiveMatView):
                 p_dates=p_dates,
             )
             if base is not None:
-                recomputed = self._aggregate(base).join(
-                    F.broadcast(recompute_keys), list(self.view_keys), "semi"
+                # persist: the recompute aggregate (as-of base read +
+                # the full HLL/extrema aggregate) feeds BOTH the upsert
+                # union and the dead-group anti-join below — without
+                # the cache the dead-key count re-executes the whole
+                # aggregate a second time (scope-released by refresh())
+                recomputed = persist_tracked(
+                    self._aggregate(base).join(
+                        F.broadcast(recompute_keys), list(self.view_keys), "semi"
+                    )
                 )
             if recomputed is None:
                 dead = recompute_keys
