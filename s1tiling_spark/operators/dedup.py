@@ -42,6 +42,32 @@ from s1tiling_spark.operators.cache import (  # noqa: E402
 )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round out scan parallelism for expensive per-row projections:
+    a file-backed input with fewer files than the host has task slots
+    (the sf tables are ONE parquet file; row groups don't split —
+    PERF.md §4) runs every downstream interpreted lambda in ONE task.
+    One cheap repartition of the raw rows spreads the shingling/
+    hashing across the machine. No-ops (returns df unchanged) when
+    the scan is already at least slot-parallel or is not file-backed —
+    at corpus scale the input is many files and no shuffle is added.
+    Purely physical: row placement only, results unchanged."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    sc = df.sparkSession.sparkContext
+    task_cpus = int(
+        df.sparkSession.conf.get("spark.task.cpus", "1") or "1"
+    )
+    slots = max(1, int(sc.defaultParallelism) // task_cpus)
+    if len(files) >= slots:
+        return df
+    return df.repartition(slots)
+
+
 def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -99,14 +125,18 @@ def jaccard_pairs(
     d(d-1)/2 join rows — one boilerplate sentence across a 10^12-doc
     corpus is a quadratic bomb without this; same intent as the
     reference's redundant-input pruning (S1FileManager.py:332-363)."""
-    # persist the (filtered) shingle relation ONCE: it feeds the size
-    # table and both self-join sides — without the cache the shingling
-    # recomputes per consumer (the minhash_lsh_pairs lesson, VERDICT
-    # r1). Only one relation is pinned; callers running many dedup
-    # queries in one session should clearCache between them (bench.py
-    # does).
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+    # persist the RAW shingle relation first: the stop-shingle df
+    # aggregate and the semi-join both consume it, so without this
+    # cache the per-doc shingling (interpreted higher-order lambdas —
+    # the pipeline's most expensive projection) runs twice before the
+    # filtered relation is even materialized; the filtered relation is
+    # persisted too (it feeds the size table and both self-join
+    # sides). Callers running many dedup queries in one session
+    # release via clearCache between them (bench.py does).
+    sh = _persist(
+        spread_small_scan(docs).select(
+            "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("sh")
+        )
     )
     if max_df is not None:
         rare = (
@@ -115,8 +145,7 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh", "left_semi")
-    sh = _persist(sh)
+        sh = _persist(sh.join(rare, "sh", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -161,7 +190,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) — one pass, no explode."""
     sh_hashes = F.transform(shingles_col(F.col("text"), k), md5_long)
-    doc = docs.select("doc_id", sh_hashes.alias("shh"))
+    doc = spread_small_scan(docs).select("doc_id", sh_hashes.alias("shh"))
     sigs = F.array(*[_minhash_sig(F.col("shh"), i) for i in range(num_hashes)])
     return doc.select("doc_id", sigs.alias("sig"))
 
@@ -258,7 +287,9 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
     """16-bit SimHash per document via word-hash bit votes. Explode +
     groupBy keeps it one shuffle with partial aggregation."""
-    w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    w = spread_small_scan(docs).select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
     w = w.withColumn("h", md5_long(F.col("w")))
     votes = [
         F.sum(

@@ -2471,24 +2471,87 @@ class TierStore:
                 # would silently drop its diff, so fall back to the
                 # unpruned reads (correctness over the optimization)
                 p_dates = None
-        # canonical names on BOTH horizons: a rename inside (from, to]
-        # must not misalign the full-outer diff columns (Iceberg
-        # changelogs likewise serve the current schema)
-        pre = self.read(tier, as_of_seq=from_seq, keys=keys, p_dates=p_dates,
-                        canonical_names=True, _retention_ok=True)
-        post = self.read(tier, as_of_seq=to_eff, keys=keys, p_dates=p_dates,
-                         canonical_names=True, _retention_ok=True)
-        pre = pre.join(touched, list(keys), "leftsemi")
-        post = post.join(touched, list(keys), "leftsemi")
-        val_cols = [c for c in post.columns if c not in keys]
-        pre_r = pre.select(
-            *keys, *[F.col(c).alias(f"_pre_{c}") for c in val_cols]
+        # ONE-PASS dual-horizon diff (r6): both as-of images come from a
+        # single aggregate over the touched version rows —
+        # max(when(valid_h, struct(commit_seq, vals...))) picks each
+        # horizon's newest valid version (struct compare leads with
+        # commit_seq), with per-horizon delete masks and rollback
+        # ranges expressed as row predicates. The previous shape ran
+        # TWO full newest-wins reads (a window shuffle each, plus a
+        # delete-mask join each) and a full-outer join — three keyed
+        # exchanges where one suffices, and max-of-struct partial-
+        # aggregates map-side where row_number cannot. Horizon guards
+        # are inherited from read(as_of_seq=...) verbatim (raise past
+        # expired history — never a silent wrong diff); canonical names
+        # on both horizons as before (a rename inside (from, to] must
+        # not misalign the images).
+        floor = self.min_as_of(tier)
+        for h in (from_seq, to_eff):
+            if h < floor:
+                raise ValueError(
+                    f"tier {tier!r}: snapshot as_of_seq={h} predates "
+                    f"the compaction horizon min_as_of={floor}; history "
+                    "below it was expired (compact with expire_below to "
+                    "retain older snapshots)"
+                )
+        vers = self.read(
+            tier, deduped=False, canonical_names=True, p_dates=p_dates
+        ).join(touched, list(keys), "leftsemi")
+        val_cols = [c for c in vers.columns if c not in keys]
+        seq = F.col("commit_seq")
+
+        def _horizon_valid(bound: int):
+            v = seq <= bound
+            for lo, hi in self._rollback_ranges(tier):
+                if bound > hi:
+                    v = v & ~((seq > lo) & (seq <= hi))
+            return v
+
+        vers = vers.withColumn("_vpre", _horizon_valid(from_seq)).withColumn(
+            "_vpost", _horizon_valid(to_eff)
         )
-        j = post.join(pre_r, list(keys), "full_outer")
+        # per-horizon delete masks: one conditional-max per horizon per
+        # delete key-set, one broadcast join each (delete files are
+        # small — Iceberg's own equality-delete assumption). A delete
+        # row is itself subject to rollback at its horizon, mirroring
+        # _delete_groups(apply_rollback=True).
+        for gi, (dkeys, dels) in enumerate(
+            self._delete_groups(tier, apply_rollback=False)
+        ):
+            dmax = dels.groupBy(*dkeys).agg(
+                F.max(F.when(_horizon_valid(from_seq), seq)).alias(f"_dpre{gi}"),
+                F.max(F.when(_horizon_valid(to_eff), seq)).alias(f"_dpost{gi}"),
+            )
+            vers = (
+                vers.join(F.broadcast(dmax), list(dkeys), "left")
+                .withColumn(
+                    "_vpre",
+                    F.col("_vpre")
+                    & (F.col(f"_dpre{gi}").isNull() | (seq > F.col(f"_dpre{gi}"))),
+                )
+                .withColumn(
+                    "_vpost",
+                    F.col("_vpost")
+                    & (F.col(f"_dpost{gi}").isNull() | (seq > F.col(f"_dpost{gi}"))),
+                )
+                .drop(f"_dpre{gi}", f"_dpost{gi}")
+            )
+        img = F.struct(*[F.col(c) for c in ("commit_seq",
+                                            *[c for c in val_cols
+                                              if c != "commit_seq"])])
+        j = vers.groupBy(*keys).agg(
+            F.max(F.when(F.col("_vpre"), img)).alias("_pre"),
+            F.max(F.when(F.col("_vpost"), img)).alias("_post"),
+        )
         op = (
-            F.when(F.col("_pre_commit_seq").isNull(), F.lit("insert"))
-            .when(F.col("commit_seq").isNull(), F.lit("delete"))
-            .when(F.col("commit_seq") != F.col("_pre_commit_seq"), F.lit("update"))
+            F.when(F.col("_pre").isNull() & F.col("_post").isNotNull(),
+                   F.lit("insert"))
+            .when(F.col("_post").isNull() & F.col("_pre").isNotNull(),
+                  F.lit("delete"))
+            .when(
+                F.col("_post.commit_seq") != F.col("_pre.commit_seq"),
+                F.lit("update"),
+            )
         )
         j = j.withColumn("op", op).filter(F.col("op").isNotNull())
         if split_updates:
@@ -2496,13 +2559,13 @@ class TierStore:
                 F.when(F.col("op") == "delete", F.lit("delete"))
                 .otherwise(F.lit("update_before"))
                 .alias("op"),
-                *[F.col(f"_pre_{c}").alias(c) for c in val_cols],
+                *[F.col(f"_pre.{c}").alias(c) for c in val_cols],
             )
             post_img = F.struct(
                 F.when(F.col("op") == "insert", F.lit("insert"))
                 .otherwise(F.lit("update_after"))
                 .alias("op"),
-                *[F.col(c).alias(c) for c in val_cols],
+                *[F.col(f"_post.{c}").alias(c) for c in val_cols],
             )
             imgs = F.array_compact(
                 F.array(
@@ -2515,8 +2578,8 @@ class TierStore:
         # update may legitimately null a column, and coalesce would
         # resurrect the old value)
         picked = [
-            F.when(F.col("op") == "delete", F.col(f"_pre_{c}"))
-            .otherwise(F.col(c))
+            F.when(F.col("op") == "delete", F.col(f"_pre.{c}"))
+            .otherwise(F.col(f"_post.{c}"))
             .alias(c)
             for c in val_cols
         ]
