@@ -144,7 +144,11 @@ def token_hist_long(seq: DataFrame, tier: str, n_bins: int = N_HIST_BINS) -> Dat
         .select("gid", F.explode("tokens").alias("token"))
         .groupBy(
             "gid",
-            F.least(F.col("token") / F.lit(width), F.lit(n_bins - 1))
+            # integer `div`, not double divide + cast: same value for
+            # every token (both truncate toward zero; token ids are
+            # non-negative), ~25 % cheaper per exploded token at 600 M
+            # tokens (measured A/B, OPTIMIZATION_r06.md)
+            F.least(F.expr(f"token div {width}"), F.lit(n_bins - 1))
             .cast("int")
             .alias("bin"),
         )
