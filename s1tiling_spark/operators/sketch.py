@@ -55,7 +55,12 @@ def cms_long(
 ) -> DataFrame:
     """Token stream → long-form CMS per (bucket, source): one row per
     non-zero (depth, col) counter."""
-    tok = seq.select(
+    from s1tiling_spark.operators.dedup import spread_small_scan
+
+    # the md5 row-hash runs depth× per exploded token — spread a
+    # single-file input so it parallelizes (no-op for many-file
+    # corpora and for non-file-backed/streaming inputs)
+    tok = spread_small_scan(seq).select(
         bucket.alias("bucket_start"), "source", F.explode("tokens").alias("token")
     )
     cells = tok.select(

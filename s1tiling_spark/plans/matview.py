@@ -494,11 +494,27 @@ class MergeMatView(AdditiveMatView):
             if upsert is not None:
                 upsert = upsert.persist()
             try:
-                n_up = upsert.count() if upsert is not None else 0
-                n_dead = 0
                 if dead_keys is not None:
                     dead_keys = dead_keys.persist()
-                    n_dead = dead_keys.count()
+                # ONE action materializes both persisted sides (the
+                # counts gate whether anything commits at all): a
+                # tagged union instead of two sequential count() jobs
+                # — each job is ~0.2-0.4 s of fixed latency on a
+                # lifecycle refresh (PERF.md §20 cost model)
+                if upsert is not None and dead_keys is not None:
+                    counts = {
+                        int(r["_s"]): int(r["count"])
+                        for r in upsert.select(F.lit(1).alias("_s"))
+                        .unionByName(dead_keys.select(F.lit(0).alias("_s")))
+                        .groupBy("_s")
+                        .count()
+                        .collect()
+                    }
+                    n_up = counts.get(1, 0)
+                    n_dead = counts.get(0, 0)
+                else:
+                    n_up = upsert.count() if upsert is not None else 0
+                    n_dead = dead_keys.count() if dead_keys is not None else 0
                 if n_up > 0 or n_dead > 0:
                     seq = self.store.next_commit_seq()
                     if n_dead > 0:
