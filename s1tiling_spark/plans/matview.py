@@ -606,10 +606,30 @@ class MergeMatView(AdditiveMatView):
         # path compiles the as-of base read + HLL re-aggregate).
         # Compiling the dead branch used to dominate the mixed-refresh
         # gate's wall time; data volume never did (PERF.md §26).
-        side_counts = {
-            int(r["_retract"]): int(r["n"])
-            for r in touched.groupBy("_retract").agg(F.count("*").alias("n")).collect()
-        }
+        # The recompute path's partition list rides the SAME collect
+        # (grouped by touched date) instead of a second job (r6).
+        span_dates = (
+            self.group_date_span_days is not None
+            and "bucket_start" in self.view_keys
+        )
+        date_col = (
+            F.to_date("bucket_start")
+            if span_dates
+            else F.lit(None).cast("date")
+        )
+        stat_rows = (
+            touched.groupBy(date_col.alias("_d"), "_retract")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        side_counts: dict[int, int] = {}
+        recompute_days = set()
+        for r in stat_rows:
+            side_counts[int(r["_retract"])] = (
+                side_counts.get(int(r["_retract"]), 0) + int(r["n"])
+            )
+            if int(r["_retract"]) == 1 and r["_d"] is not None:
+                recompute_days.add(r["_d"])
         has_merge = side_counts.get(0, 0) > 0
         has_recompute = side_counts.get(1, 0) > 0
         merged = None
@@ -633,7 +653,7 @@ class MergeMatView(AdditiveMatView):
         dead = None
         if has_recompute:
             # -- recompute path: re-aggregate touched groups from base
-            p_dates = self._recompute_p_dates(recompute_keys)
+            p_dates = self._expand_span_dates(recompute_days) if span_dates else None
             base = self.store.read(
                 self.base_tier,
                 as_of_seq=to_seq,
@@ -665,24 +685,14 @@ class MergeMatView(AdditiveMatView):
             upsert = merged.unionByName(recomputed)
         return upsert, dead
 
-    def _recompute_p_dates(self, recompute_keys: DataFrame) -> list | None:
+    def _expand_span_dates(self, days) -> list | None:
         """Partition list covering the recompute groups' base rows, when
         the view grain's date span is declared: each group's base rows
-        live in [date(bucket_start), +span days). Driver-side collect of
-        the touched GROUP keys — metadata-scale, same discipline as the
-        changelog's touched-partition pruning."""
-        if self.group_date_span_days is None or "bucket_start" not in self.view_keys:
-            return None
+        live in [date(bucket_start), +span days). The touched dates come
+        from the side-count collect (metadata-scale, same discipline as
+        the changelog's touched-partition pruning — no extra job)."""
         from datetime import timedelta
 
-        days = [
-            r["d"]
-            for r in recompute_keys.select(
-                F.to_date("bucket_start").alias("d")
-            )
-            .distinct()
-            .collect()
-        ]
         out = set()
         for d in days:
             for i in range(self.group_date_span_days):
