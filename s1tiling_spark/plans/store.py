@@ -2049,19 +2049,55 @@ class TierStore:
             # applied here — read_summed masks at row level itself,
             # compact applies them physically
             return df
-        # rollback mask BEFORE the rank window: voiding the newest
+        # rollback mask BEFORE the newest-wins pick: voiding the newest
         # version must let the restored older one win again
         df = self._apply_rollback_mask(df, tier, as_of_seq)
-        w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
-        out = (
-            df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
+        out = self._newest_wins(df, keys)
         # newest-wins first, mask after: equivalent (the winner is the
         # max seq — masked iff max <= del_seq either way) and the join
         # then touches one row per key instead of every version
         return self._apply_delete_mask(out, tier, as_of_seq)
+
+    @staticmethod
+    def _newest_wins(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+        """MERGE-on-read: the newest version per natural key.
+
+        Computed as ONE hash aggregate — max over struct(commit_seq,
+        vals…) per key (struct compare leads with commit_seq) — which
+        partial-aggregates map-side, so the exchange carries O(keys)
+        rows where the previous rank window shuffled AND sorted every
+        version (r6; same formulation as the one-pass changelog). Tie
+        order among equal seqs is deterministic (struct field compare)
+        where the window was arbitrary — both satisfy the newest-wins
+        contract. Map columns are not orderable, so map-bearing tiers
+        keep the window formulation."""
+        if any("map<" in t for _, t in df.dtypes):
+            w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk")
+            )
+        val_cols = [c for c in df.columns if c not in keys]
+        img = F.struct(
+            *[
+                F.col(c)
+                for c in (
+                    "commit_seq",
+                    *[c for c in val_cols if c != "commit_seq"],
+                )
+            ]
+        )
+        return (
+            df.groupBy(*keys)
+            .agg(F.max(img).alias("_w"))
+            .select(
+                *[
+                    F.col(c) if c in keys else F.col(f"_w.{c}").alias(c)
+                    for c in df.columns
+                ]
+            )
+        )
 
     def read_summed(
         self,
@@ -2312,12 +2348,7 @@ class TierStore:
         # horizon (a rollback crossing (from, to] surfaces as deletes
         # in `changes`, never here — this scan is upserts-only)
         df = self._apply_rollback_mask(df, tier, to_eff)
-        w = Window.partitionBy(*keys).orderBy(F.desc("commit_seq"))
-        out = (
-            df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
+        out = self._newest_wins(df, keys)
         # deletes <= from_seq can never mask an in-range version
         # (version > from_seq >= del_seq), so the as-of-bounded mask is
         # exactly the range's own deletes
