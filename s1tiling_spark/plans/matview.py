@@ -258,33 +258,33 @@ class AdditiveMatView:
             # touching only OTHER tiers, or pure rewrites) must not
             # consume a commit_seq — otherwise every refresh would bump
             # the store-global seq and the next refresh could never
-            # no-op. The count is O(touched keys) and the persist means
-            # the append below reuses it, not a second changelog scan.
-            delta = delta.persist()
-            try:
-                if delta.count() > 0:
-                    seq = self.store.next_commit_seq()
-                    rows = self.store.append(
-                        self.view_tier,
-                        delta,
-                        seq,
-                        run_id,
-                        # keyed by the BASE range applied, not our own
-                        # append seq: the repair advances the cursor to
-                        # the marker's `to`, and under concurrent
-                        # writers only the base range is safe to skip
-                        idempotency_key=f"mv~{cursor}~{to_seq}",
-                    )
-                    # Advance the cursor OVER our own delta append only
-                    # when nothing interleaved: with concurrent writers
-                    # (CAS seq, r5) a base commit may land between
-                    # to_seq and our seq — skipping it would lose its
-                    # delta forever. When seq == to_seq + 1 the range
-                    # (to_seq, seq] contains exactly our own
-                    # different-tier append and the skip is free.
-                    cursor_target = seq if seq == to_seq + 1 else to_seq
-            finally:
-                delta.unpersist()
+            # no-op. Eager localCheckpoint (guide §3.3) materializes
+            # the delta ONCE and truncates the changelog tree, so the
+            # count and the append analyze a leaf scan instead of
+            # re-walking the diff plan (refresh retries are idempotent
+            # via the mv~from~to marker, so a lost block fails clean).
+            delta = delta.localCheckpoint(eager=True)
+            if delta.count() > 0:
+                seq = self.store.next_commit_seq()
+                rows = self.store.append(
+                    self.view_tier,
+                    delta,
+                    seq,
+                    run_id,
+                    # keyed by the BASE range applied, not our own
+                    # append seq: the repair advances the cursor to
+                    # the marker's `to`, and under concurrent
+                    # writers only the base range is safe to skip
+                    idempotency_key=f"mv~{cursor}~{to_seq}",
+                )
+                # Advance the cursor OVER our own delta append only
+                # when nothing interleaved: with concurrent writers
+                # (CAS seq, r5) a base commit may land between
+                # to_seq and our seq — skipping it would lose its
+                # delta forever. When seq == to_seq + 1 the range
+                # (to_seq, seq] contains exactly our own
+                # different-tier append and the skip is free.
+                cursor_target = seq if seq == to_seq + 1 else to_seq
         self._advance_cursor(cursor_target)
         return {"from_seq": cursor, "to_seq": cursor_target, "rows": rows}
 
@@ -570,21 +570,18 @@ class MergeMatView(AdditiveMatView):
         )
         if ch is None:
             return None, None
-        from s1tiling_spark.operators.cache import persist_tracked
-
-        # Materialize the changelog ONCE: unlike the additive view
-        # (one signed aggregate over ch), the merge view consumes ch
-        # from TWO plans — the touched-group aggregate and the merge
-        # path's insert partial — and the changelog is the expensive
-        # relation here (two as-of reads + a full-outer diff). Without
-        # the persist each consumer re-executes that diff; with it the
-        # second consumer reads O(touched keys) cached rows. Measured
-        # 19 s -> ~12 s on the mixed-refresh gate at sf0.1.
-        ch = persist_tracked(ch)
-        # scope-released by refresh()'s scoped_persists wrapper — every
-        # downstream action (counts, delete, append) completes inside
-        # the scope, so no eager checkpoint is needed to outlive it
-        touched = persist_tracked(
+        # Materialize the changelog ONCE, and TRUNCATE its plan (eager
+        # localCheckpoint, guide §3.3): the changelog tree (version
+        # scan + touched semi-join + dual-horizon aggregate) is
+        # re-ANALYZED by every downstream action otherwise — with four
+        # actions per refresh the Catalyst time dominated the mixed-
+        # refresh gate (profiled: 3.2 s driver gap vs 3.5 s of jobs).
+        # Truncation is safe here specifically: a refresh is
+        # crash-idempotent (the mv~from~to marker protocol), so a lost
+        # checkpoint block fails the refresh cleanly and the retry
+        # recomputes — never a wrong result. O(touched keys) rows.
+        ch = ch.localCheckpoint(eager=True)
+        touched = (
             ch.select(
                 *[expr.alias(k) for k, expr in self.group_cols.items()], "op"
             )
@@ -594,6 +591,7 @@ class MergeMatView(AdditiveMatView):
                     F.when(F.col("op").isin("delete", "update_before"), 1).otherwise(0)
                 ).alias("_retract")
             )
+            .localCheckpoint(eager=True)
         )
         merge_keys = touched.filter(F.col("_retract") == 0).drop("_retract")
         recompute_keys = touched.filter(F.col("_retract") == 1).drop("_retract")
@@ -661,16 +659,16 @@ class MergeMatView(AdditiveMatView):
                 p_dates=p_dates,
             )
             if base is not None:
-                # persist: the recompute aggregate (as-of base read +
-                # the full HLL/extrema aggregate) feeds BOTH the upsert
-                # union and the dead-group anti-join below — without
-                # the cache the dead-key count re-executes the whole
-                # aggregate a second time (scope-released by refresh())
-                recomputed = persist_tracked(
-                    self._aggregate(base).join(
-                        F.broadcast(recompute_keys), list(self.view_keys), "semi"
-                    )
-                )
+                # materialize + truncate: the recompute aggregate
+                # (as-of base read + the full HLL/extrema aggregate —
+                # the refresh's biggest logical tree) feeds the upsert
+                # union AND the dead-group anti-join; the checkpoint
+                # computes it once and every later action analyzes a
+                # leaf scan instead of the whole tree (same retry-
+                # idempotency argument as the changelog above)
+                recomputed = self._aggregate(base).join(
+                    F.broadcast(recompute_keys), list(self.view_keys), "semi"
+                ).localCheckpoint(eager=True)
             if recomputed is None:
                 dead = recompute_keys
             else:
