@@ -380,7 +380,7 @@ class MergeMatView(AdditiveMatView):
             *[f"{name}_regs" for name in self.hll_cols],
         ]
 
-    def _aggregate(self, rows: DataFrame) -> DataFrame:
+    def _aggregate(self, rows: DataFrame, with_retract: bool = False) -> DataFrame:
         """Base-shaped rows → one view row per group: the full-load,
         recompute AND insert-partial aggregate (one definition — the
         three paths must agree exactly or merges drift from rebuilds).
@@ -389,11 +389,33 @@ class MergeMatView(AdditiveMatView):
         vector is expressed as m conditional-max columns (register
         index tested per row, JVM codegen), folded into a dense array —
         partial aggregation applies, unlike a two-level
-        (group, reg)-then-regroup shape which would shuffle twice."""
+        (group, reg)-then-regroup shape which would shuffle twice.
+
+        ``with_retract`` (changelog input, r6): also emit ``_retract``
+        = max over the group of op∈{delete, update_before}. A group
+        with ``_retract == 0`` was touched ONLY by inserts/post-images,
+        so its measure columns — computed over all its changelog rows —
+        ARE the insert partial (no pre-image rows exist to pollute
+        them); a ``_retract == 1`` group's measures are discarded and
+        only its key survives (the recompute set). This folds what used
+        to be three relations (touched-key set, side split, insert
+        partial re-aggregate + broadcast semi-join) into the ONE
+        aggregate the changelog feeds anyway."""
         from s1tiling_spark.operators.sketch import hll_reg_rho
 
         passthru = list(
             dict.fromkeys([*self.sum_cols, *self.min_cols, *self.max_cols])
+        )
+        retract_proj = (
+            [
+                F.when(
+                    F.col("op").isin("delete", "update_before"), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .alias("_retract_row")
+            ]
+            if with_retract
+            else []
         )
         proj = rows.select(
             *[expr.alias(k) for k, expr in self.group_cols.items()],
@@ -409,11 +431,14 @@ class MergeMatView(AdditiveMatView):
                 ]
                 for c in pair
             ],
+            *retract_proj,
         )
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         aggs += [F.sum(c).alias(c) for c in self.sum_cols]
         aggs += [F.min(c).alias(f"{c}_min") for c in self.min_cols]
         aggs += [F.max(c).alias(f"{c}_max") for c in self.max_cols]
+        if with_retract:
+            aggs.append(F.max("_retract_row").alias("_retract"))
         reg_maxes = {}
         for name in self.hll_cols:
             for i in range(self.hll_m):
@@ -428,7 +453,8 @@ class MergeMatView(AdditiveMatView):
                 f"{name}_regs",
                 F.array(*[F.coalesce(F.col(p), F.lit(0)) for p in parts]),
             ).drop(*parts)
-        return out.select(*self.view_keys, *self._measure_cols)
+        extra = ["_retract"] if with_retract else []
+        return out.select(*self.view_keys, *self._measure_cols, *extra)
 
     def _merge_rows(self, part: DataFrame, current: DataFrame | None) -> DataFrame:
         """Fold an insert-only partial into the groups' current rows
@@ -570,32 +596,29 @@ class MergeMatView(AdditiveMatView):
         )
         if ch is None:
             return None, None
-        # Materialize the changelog ONCE, and TRUNCATE its plan (eager
+        # ONE materialization for the whole decision layer (eager
         # localCheckpoint, guide §3.3): the changelog tree (version
-        # scan + touched semi-join + dual-horizon aggregate) is
-        # re-ANALYZED by every downstream action otherwise — with four
-        # actions per refresh the Catalyst time dominated the mixed-
-        # refresh gate (profiled: 3.2 s driver gap vs 3.5 s of jobs).
-        # Truncation is safe here specifically: a refresh is
-        # crash-idempotent (the mv~from~to marker protocol), so a lost
-        # checkpoint block fails the refresh cleanly and the retry
-        # recomputes — never a wrong result. O(touched keys) rows.
-        ch = ch.localCheckpoint(eager=True)
-        touched = (
-            ch.select(
-                *[expr.alias(k) for k, expr in self.group_cols.items()], "op"
-            )
-            .groupBy(*self.view_keys)
-            .agg(
-                F.max(
-                    F.when(F.col("op").isin("delete", "update_before"), 1).otherwise(0)
-                ).alias("_retract")
-            )
-            .localCheckpoint(eager=True)
+        # scan + touched semi-join + dual-horizon aggregate) flows
+        # STRAIGHT into the per-group partial aggregate — with the
+        # ``_retract`` flag riding the same groupBy — and only that
+        # O(touched groups) result is checkpointed. Its ``_retract==0``
+        # rows ARE the merge path's insert partials (see _aggregate:
+        # such a group has no pre-image rows, so the unconditional
+        # measures equal the insert-only measures) and its
+        # ``_retract==1`` keys are the recompute set. The previous
+        # shape materialized the changelog AND a separate touched-key
+        # aggregate, then re-aggregated the changelog for the merge
+        # partials and semi-joined them back against the touched set —
+        # two checkpoint actions, one re-aggregate and one broadcast
+        # exchange more than this. Truncation is safe here
+        # specifically: a refresh is crash-idempotent (the mv~from~to
+        # marker protocol), so a lost checkpoint block fails the
+        # refresh cleanly and the retry recomputes — never a wrong
+        # result.
+        part_agg = self._aggregate(ch, with_retract=True).localCheckpoint(
+            eager=True
         )
-        merge_keys = touched.filter(F.col("_retract") == 0).drop("_retract")
-        recompute_keys = touched.filter(F.col("_retract") == 1).drop("_retract")
-        # One tiny action over the persisted touched set decides which
+        # One tiny action over the checkpointed partials decides which
         # paths exist AT ALL this range. Real ranges are usually
         # one-sided — steady-state appends are all-merge, a supersede
         # or backfill is all-recompute — and each path costs several
@@ -616,7 +639,7 @@ class MergeMatView(AdditiveMatView):
             else F.lit(None).cast("date")
         )
         stat_rows = (
-            touched.groupBy(date_col.alias("_d"), "_retract")
+            part_agg.groupBy(date_col.alias("_d"), "_retract")
             .agg(F.count("*").alias("n"))
             .collect()
         )
@@ -630,6 +653,9 @@ class MergeMatView(AdditiveMatView):
                 recompute_days.add(r["_d"])
         has_merge = side_counts.get(0, 0) > 0
         has_recompute = side_counts.get(1, 0) > 0
+        recompute_keys = (
+            part_agg.filter(F.col("_retract") == 1).select(*self.view_keys)
+        )
         merged = None
         if has_merge:
             # -- merge path: fold insert partials into current rows.
@@ -640,10 +666,7 @@ class MergeMatView(AdditiveMatView):
             # the common key-derived-group case the pair lands in ONE
             # group, which is then retraction-touched and recomputed,
             # so the merge path never sees it (review catch, r5).
-            inserts = ch.filter(F.col("op").isin("insert", "update_after"))
-            part = self._aggregate(inserts).join(
-                F.broadcast(merge_keys), list(self.view_keys), "semi"
-            )
+            part = part_agg.filter(F.col("_retract") == 0).drop("_retract")
             merged = self._merge_rows(
                 part, self.store.read(self.view_tier, keys=self.view_keys)
             )
