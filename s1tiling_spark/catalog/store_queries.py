@@ -322,7 +322,10 @@ def source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     product selection, `S1FileManager.py:1006-1039`).
     """
     seq = sequences_from_documents(spark, sf_dir)
-    h = rollup_sequences(seq, "1h")
+    # persist the NARROW rollup output: both half-appends derive from
+    # it, so the raw scan + rollup runs once, not once per append (the
+    # same one-scan discipline as the other lifecycle gates)
+    h = rollup_sequences(seq, "1h").persist()
     base_dir = tempfile.mkdtemp(prefix="s1ts_prune_gate_")
     store = TierStore(spark, base_dir)
     # lexicographically disjoint halves → disjoint per-file bounds
@@ -330,6 +333,7 @@ def source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  store.next_commit_seq(), "lo")
     store.append("1h", h.filter(F.col("source") >= "src3"),
                  store.next_commit_seq(), "hi")
+    h.unpersist()
     pruned = store.read("1h", sources=["src7"])
     if pruned is None:  # empty input: nothing was ever appended
         shutil.rmtree(base_dir, ignore_errors=True)
