@@ -2033,10 +2033,16 @@ class TierStore:
         else:
             # plain scan: explicit footer schema (driver-side pyarrow,
             # cached) replaces the per-read Spark inference job —
-            # see _footer_schema for the contract argument
-            sample = self._tier_sample_file(tier)
-            if sample is not None:
-                reader = reader.schema(self._footer_schema(sample))
+            # see _footer_schema for the contract argument. Reads are
+            # lock-free, so a concurrent compact may retire the sample
+            # between listing and stat — fall back to Spark inference
+            # for that read rather than failing it.
+            try:
+                sample = self._tier_sample_file(tier)
+                if sample is not None:
+                    reader = reader.schema(self._footer_schema(sample))
+            except OSError:
+                pass
         planned = (
             self._plan_files_above_seq(tier, min_seq_hint)
             if min_seq_hint is not None
